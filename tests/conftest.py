@@ -5,6 +5,8 @@ JAX fake-backend trick)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# this jax build (axon plugin) ignores JAX_PLATFORMS; PLATFORM_NAME works
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
