@@ -1,19 +1,24 @@
-"""Frame-batching engine: host read-ahead -> bucketed device dispatch.
+"""Frame-batching engine: host read-ahead -> bucketed async device dispatch.
 
 ``JaxPipeline`` plugs into :class:`~nvorbis_tpu.stream_decoder.StreamDecoder`
 (the ``engine="jax"`` path).  It reads ahead a window of packets, unpacks
 them on the host plane into dense :class:`FrameSpec` tensors, buckets the
 frames by *mode* (each mode has a static block size / window set / mapping
-topology, so each bucket is one static-shaped XLA program — see
-``synth/device.py``), dispatches one device call per bucket, and replays the
-results to the decoder in original packet order so all overlap-add, end-trim,
-position and stats semantics (``NVorbis/StreamDecoder.cs:417-541``) are
-untouched.
+topology, so each bucket maps onto the shared jitted synthesis program — see
+``synth/device.py``), dispatches one asynchronous device call per bucket,
+and replays the results to the decoder in original packet order so all
+overlap-add, end-trim, position and stats semantics
+(``NVorbis/StreamDecoder.cs:417-541``) are untouched.
+
+Double buffering: device results stay as live jax arrays until the consumer
+touches them, and the *next* window's host unpack + dispatch happens as soon
+as the previous window is handed to the consumer — so the sequential host
+bit-plane runs concurrently with device synthesis (JAX dispatch is async).
 
 This replaces the reference's packet-at-a-time synthesis with frame-batch
 data parallelism: the overlap-add dependency between consecutive frames is
-only pairwise, so a whole window of frames can be synthesized in parallel and
-lapped afterwards.
+only pairwise, so a whole window of frames can be synthesized in parallel
+and lapped afterwards.
 """
 
 from collections import deque
@@ -21,31 +26,79 @@ from collections import deque
 import numpy as np
 
 
+class _LazyBatch:
+    """Deferred device->host conversion for one dispatched bucket."""
+
+    __slots__ = ("dev", "count", "_np")
+
+    def __init__(self, dev, count):
+        # slice the batch padding off on-device: device->host bandwidth is
+        # the scarce resource (especially through a TPU tunnel), so never
+        # fetch padded rows
+        self.dev = dev[:count] if count != dev.shape[0] else dev
+        self.count = count
+        self._np = None
+
+    def get(self, i):
+        if self._np is None:
+            self._np = np.asarray(self.dev)
+        return np.array(self._np[i])  # writable copy for overlap-add
+
+
 class JaxPipeline:
     """Read-ahead batched synthesis via the JAX device plane."""
 
-    def __init__(self, decoder, readahead: int = 64):
+    def __init__(self, decoder, readahead: int = 2048):
         import jax  # noqa: F401  -- raise early when JAX is unavailable
 
         from nvorbis_tpu.synth.device import DeviceSynth
 
         self._DeviceSynth = DeviceSynth
         self._decoder = decoder
-        self._readahead = readahead
+        self._max_readahead = readahead
         self._queue = deque()
+        self._pending = None  # next window, already dispatched to the device
         self._provider_done = False
+        self._window = 8  # adaptive: grows toward _max_readahead
         self._synths = {}  # id(mode) -> DeviceSynth
+
+        # native host plane (C++), when buildable and the setup is supported
+        self._native = None
+        try:
+            from nvorbis_tpu.native import NativeUnpacker
+
+            self._native = NativeUnpacker(decoder._setup, decoder._max_posts)
+        except Exception:
+            self._native = None
 
     def reset(self):
         self._queue.clear()
+        self._pending = None
         self._provider_done = False
+        self._window = 8
 
     def next_result(self):
-        if not self._queue and not self._provider_done:
-            self._fill()
+        if not self._queue:
+            # promote the in-flight window, then immediately dispatch the
+            # next one: the device synthesizes it while the consumer drains
+            # the queue (JAX dispatch is asynchronous)
+            if self._pending is None and not self._provider_done:
+                self._pending = self._fill()
+            if self._pending is not None:
+                self._queue.extend(self._pending)
+                self._pending = None
+            if not self._provider_done:
+                self._pending = self._fill()
+                if not self._pending:
+                    self._pending = None
         if not self._queue:
             return None
-        return self._queue.popleft()
+        res = self._queue.popleft()
+        if res._lazy is not None:
+            batch, i = res._lazy
+            res.pcm = batch.get(i)
+            res._lazy = None
+        return res
 
     # -- internals ----------------------------------------------------------
 
@@ -58,10 +111,15 @@ class JaxPipeline:
         return synth
 
     def _fill(self):
+        """Unpack + dispatch one window; returns the result list."""
+        if self._native is not None:
+            return self._fill_native()
         dec = self._decoder
         results = []
         buckets = {}  # id(mode) -> (mode, [(result_index, frame)])
-        while len(results) < self._readahead:
+        window = self._window
+        self._window = min(self._max_readahead, window * 4)
+        while len(results) < window:
             packet = dec._packet_provider.get_next_packet()
             if packet is None:
                 self._provider_done = True
@@ -93,10 +151,87 @@ class JaxPipeline:
                 for i, f in enumerate(frames):
                     for c, curve in f.floor0_curves.items():
                         f0[i, c] = curve
-            pcm = synth(residue, ys, used, has_floor, window_index, f0)
-            for (ri, frame), out in zip(items, pcm):
+            dev, count = synth.dispatch(residue, ys, used, has_floor, window_index, f0)
+            batch = _LazyBatch(dev, count)
+            for slot, (ri, frame) in enumerate(items):
                 r = results[ri]
-                r.pcm = np.array(out)  # writable copy for overlap-add
+                r._lazy = (batch, slot)
                 r._frame = None
 
-        self._queue.extend(results)
+        return results
+
+    def _fill_native(self):
+        """Window fill via the C++ host plane: one unpack call, one device
+        dispatch per mode present.  Output semantics identical to the
+        Python path (bit-exact dense tensors; see tests/test_native.py)."""
+        from nvorbis_tpu.stream_decoder import _PacketResult
+
+        dec = self._decoder
+        setup = dec._setup
+        window = self._window
+        self._window = min(self._max_readahead, window * 4)
+
+        packets = []
+        raw = []
+        while len(packets) < window:
+            packet = dec._packet_provider.get_next_packet()
+            if packet is None:
+                self._provider_done = True
+                break
+            packets.append(packet)
+            raw.append(bytes(packet.data))
+            if packet.is_end_of_stream:
+                break
+        if not packets:
+            return []
+
+        residue, ys, used, has_floor, meta = self._native.unpack(raw)
+        used = used.astype(bool)
+        has_floor = has_floor.astype(bool)
+
+        results = []
+        buckets = {}  # mode_idx -> list of result_index
+        for i, packet in enumerate(packets):
+            res = _PacketResult()
+            res.is_end_of_stream = packet.is_end_of_stream
+            res.is_resync = packet.is_resync
+            res.container_overhead_bits = packet.container_overhead_bits
+            status = int(meta[i, 0])
+            total_bits = int(meta[i, 4])
+            if status != 1:
+                # not an audio packet / malformed: same bit accounting as
+                # StreamDecoder._unpack_packet_result on a None frame
+                res.bits_remaining = total_bits
+                results.append(res)
+                packet.done()
+                continue
+            mode_idx = int(meta[i, 1])
+            window_index = int(meta[i, 2])
+            mode = setup.modes[mode_idx]
+            res.start, res.valid, res.total = mode.overlaps[window_index]
+            res.granule_pos = packet.granule_position
+            res.bits_read = int(meta[i, 3])
+            res.bits_remaining = total_bits - res.bits_read
+            results.append(res)
+            buckets.setdefault(mode_idx, []).append(i)
+            packet.done()
+
+        for mode_idx, rows in buckets.items():
+            mode = setup.modes[mode_idx]
+            synth = self._synth_for(mode)
+            n2 = synth.n2
+            idx = np.asarray(rows)
+            window_index = meta[idx, 2].astype(np.int32)
+            dev, count = synth.dispatch(
+                residue[idx][:, :, :n2],
+                ys[idx],
+                used[idx],
+                has_floor[idx],
+                window_index,
+                None,
+            )
+            batch = _LazyBatch(dev, count)
+            for slot, ri in enumerate(rows):
+                results[ri]._lazy = (batch, slot)
+
+        return results

@@ -1,0 +1,234 @@
+"""Native host plane: build-on-demand C++ packet unpack with ctypes bindings.
+
+The C++ core (``host_decode.cpp``) mirrors the Python host plane
+(``codec/frames.py``) bit-for-bit; this module serializes a parsed stream
+setup into flat blobs the C side parses once, and exposes
+:class:`NativeUnpacker` which unpacks a whole window of packets into dense
+batched tensors in one call (releasing the GIL, fanned out over C++ threads).
+
+The library is compiled with g++ on first use and cached next to the source;
+every consumer falls back to the pure-Python path when the toolchain or the
+setup shape (e.g. Floor0 streams) is not supported.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from nvorbis_tpu.codec.floor import Floor1
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "host_decode.cpp")
+_SO = os.path.join(_DIR, "_host_decode.so")
+
+_MAGIC = 0x4E565431
+
+_lib = None
+_lib_lock = threading.Lock()
+_lib_failed = False
+
+
+def _build_library():
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-o", _SO, _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load():
+    """Load (building if needed) the native library; None when unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None:
+        return _lib
+    if _lib_failed:
+        return None
+    with _lib_lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                _build_library()
+            lib = ctypes.CDLL(_SO)
+            lib.nvt_setup_create.restype = ctypes.c_void_p
+            lib.nvt_setup_create.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.nvt_setup_destroy.argtypes = [ctypes.c_void_p]
+            lib.nvt_unpack_window.argtypes = [
+                ctypes.c_void_p,  # setup
+                ctypes.c_void_p,  # bytes
+                ctypes.c_void_p,  # offsets
+                ctypes.c_int32,   # n_packets
+                ctypes.c_void_p,  # residue
+                ctypes.c_void_p,  # ys
+                ctypes.c_void_p,  # used
+                ctypes.c_void_p,  # has_floor
+                ctypes.c_void_p,  # meta
+                ctypes.c_int32,   # n_threads
+            ]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+            return None
+    return _lib
+
+
+def serialize_setup(setup, max_posts):
+    """Flatten a parsed setup into (int32 blob, float32 blob).
+
+    Returns None when the setup cannot be represented (Floor0 present).
+    Layout must match nvt_setup_create in host_decode.cpp.
+    """
+    for f in setup.floors:
+        if not isinstance(f, Floor1):
+            return None
+
+    ints = []
+    floats = []
+    book_index = {id(b): i for i, b in enumerate(setup.codebooks)}
+
+    block0, block1 = setup.block0_size, setup.block1_size
+    ints += [
+        _MAGIC, setup.channels, setup.mode_field_bits,
+        len(setup.codebooks), len(setup.floors), len(setup.residues),
+        len(setup.mappings), len(setup.modes),
+        max_posts, block0, block1, block1 // 2,
+    ]
+
+    for b in setup.codebooks:
+        has_lookup = 1 if b.lookup is not None else 0
+        lookup_off = len(floats)
+        if has_lookup:
+            floats.extend(np.asarray(b.lookup, dtype=np.float32).ravel().tolist())
+        ints += [
+            b.dimensions, b.entries, b.table_bits, b.max_bits,
+            len(b._overflow), has_lookup, lookup_off,
+        ]
+        size = 1 << b.table_bits
+        ints.extend(np.asarray(b._tbl_value[:size], dtype=np.int64).tolist())
+        ints.extend(np.asarray(b._tbl_length[:size], dtype=np.int64).tolist())
+        for code, mask, length, value in b._overflow:
+            ints += [code, mask, length, value]
+
+    for f in setup.floors:
+        max_class = len(f.class_dims)
+        ints += [1, len(f.partition_class), max_class, f.post_count,
+                 f.y_bits, f.range, f.multiplier]
+        ints.extend(f.partition_class)
+        ints.extend(f.class_dims)
+        ints.extend(f.class_subclasses)
+        ints.extend(
+            book_index[id(b)] if b is not None else -1 for b in f.masterbooks
+        )
+        for books in f.subclass_books:
+            row = [book_index[id(b)] if b is not None else -1 for b in books]
+            row += [-1] * (8 - len(row))
+            ints.extend(row)
+        ints.extend(f.x_list)
+        ints.extend(f.l_neigh)
+        ints.extend(f.h_neigh)
+        ints.extend(f.sort_idx)
+
+    for r in setup.residues:
+        partvals, cb_dims = r.decode_map.shape
+        ints += [
+            r.residue_type, r.begin, r.end, r.partition_size,
+            r.classifications, book_index[id(r.classbook)], r.max_stages,
+            partvals, cb_dims,
+        ]
+        ints.extend(r.cascade)
+        for row in r.books:
+            srow = [book_index[id(b)] if b is not None else -1 for b in row]
+            srow += [-1] * (r.max_stages - len(srow))
+            ints.extend(srow)
+        ints.extend(r.decode_map.ravel().tolist())
+
+    for m in setup.mappings:
+        ints += [m.submap_count, len(m.coupling_mag)]
+        ints.extend(m.coupling_mag)
+        ints.extend(m.coupling_ang)
+        ints.extend(m.mux)
+        ints.extend(m.submap_floor)
+        ints.extend(m.submap_residue)
+
+    for md in setup.modes:
+        ints += [1 if md.block_flag else 0, md.block_size, md.mapping_idx]
+
+    return (
+        np.asarray(ints, dtype=np.int32),
+        np.asarray(floats, dtype=np.float32),
+    )
+
+
+class NativeUnpacker:
+    """Per-stream native unpack context.
+
+    ``unpack(packet_bytes_list)`` returns dense window tensors:
+    residue ``[B, C, n2max]`` f32, ys ``[B, C, P]`` i32, used/has_floor u8,
+    meta ``[B, 8]`` i32 (status, mode_idx, window_index, bits_read,
+    total_bits, 0, 0, 0).
+    """
+
+    def __init__(self, setup, max_posts):
+        self._handle = None
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        blobs = serialize_setup(setup, max_posts)
+        if blobs is None:
+            raise RuntimeError("setup not supported natively")
+        bi, bf = blobs
+        self._blob_i = bi  # keep alive
+        self._blob_f = bf
+        handle = lib.nvt_setup_create(
+            bi.ctypes.data, bi.size, bf.ctypes.data, bf.size
+        )
+        if not handle:
+            raise RuntimeError("native setup rejected")
+        self._lib = lib
+        self._handle = handle
+        self.channels = setup.channels
+        self.max_posts = max_posts
+        self.n2max = setup.block1_size // 2
+
+    def __del__(self):
+        if self._handle:
+            try:
+                self._lib.nvt_setup_destroy(self._handle)
+            except Exception:
+                pass
+            self._handle = None
+
+    def unpack(self, packets, n_threads=0):
+        B = len(packets)
+        C, P, n2 = self.channels, self.max_posts, self.n2max
+        offsets = np.zeros(B + 1, dtype=np.int64)
+        for i, pk in enumerate(packets):
+            offsets[i + 1] = offsets[i] + len(pk)
+        data = b"".join(packets)
+        buf = np.frombuffer(data, dtype=np.uint8)
+
+        residue = np.zeros((B, C, n2), dtype=np.float32)
+        ys = np.zeros((B, C, P), dtype=np.int32)
+        used = np.zeros((B, C, P), dtype=np.uint8)
+        has_floor = np.zeros((B, C), dtype=np.uint8)
+        meta = np.zeros((B, 8), dtype=np.int32)
+
+        self._lib.nvt_unpack_window(
+            self._handle,
+            buf.ctypes.data,
+            offsets.ctypes.data,
+            B,
+            residue.ctypes.data,
+            ys.ctypes.data,
+            used.ctypes.data,
+            has_floor.ctypes.data,
+            meta.ctypes.data,
+            n_threads,
+        )
+        return residue, ys, used, has_floor, meta

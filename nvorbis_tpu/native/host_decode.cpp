@@ -1,0 +1,579 @@
+// nvorbis_tpu native host plane: bit-serial Vorbis packet unpack.
+//
+// This is the C++ twin of nvorbis_tpu/codec/frames.py::unpack_audio_packet —
+// everything between "raw packet bytes" and "dense per-frame tensors" that
+// is inherently sequential and therefore runs on the host:
+//
+//   * LSB-first bit reader            (reference: NVorbis/DataPacket.cs:168-283)
+//   * codebook scalar (Huffman) decode (NVorbis/Codebook.cs:294-320,
+//                                       prefix table NVorbis/Huffman.cs:15-76)
+//   * floor1 post decode + unwrap     (NVorbis/Floor1.cs:135-184, 224-297)
+//   * residue 0/1/2 partition decode  (NVorbis/Residue0.cs:119-201,
+//                                      Residue1.cs:6-27, Residue2.cs:6-48)
+//   * coupling no-energy propagation  (NVorbis/Mapping.cs:112-119)
+//
+// The per-stream setup (codebooks, floors, residues, mappings, modes) is
+// serialized by Python into one int32 blob + one float32 blob
+// (see native/__init__.py) and parsed here once per stream.  Packets within
+// an unpack window are independent, so the window fans out over a thread
+// pool; each packet writes only its own output rows.
+//
+// Float accumulation is element-wise float32 adds in the same order as the
+// numpy reference path, so outputs are bit-identical to frames.py.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <thread>
+#include <atomic>
+#include <algorithm>
+
+namespace {
+
+// ---------------------------------------------------------------- bit reader
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbits;
+  int64_t pos = 0;
+  bool is_short = false;
+
+  BitReader(const uint8_t* d, int64_t nbytes) : data(d), nbits(nbytes * 8) {}
+
+  // Peek up to `count` (<=57) bits; returns bits actually available in *got.
+  inline uint64_t try_peek(int count, int* got) const {
+    int64_t avail = nbits - pos;
+    if (avail <= 0) { *got = 0; return 0; }
+    int n = count < (int)avail ? count : (int)avail;
+    int64_t byte0 = pos >> 3;
+    int bit0 = (int)(pos & 7);
+    // read up to 8 bytes little-endian without running off the buffer
+    uint64_t chunk = 0;
+    int64_t nbytes_total = (nbits + 7) >> 3;
+    int64_t need = (bit0 + n + 7) >> 3;
+    int64_t take = std::min<int64_t>(need, nbytes_total - byte0);
+    for (int64_t i = take - 1; i >= 0; --i) chunk = (chunk << 8) | data[byte0 + i];
+    uint64_t value = (chunk >> bit0) & ((n >= 64) ? ~0ull : ((1ull << n) - 1));
+    *got = n;
+    return value;
+  }
+
+  inline void skip(int count) {
+    if (count <= 0) return;
+    pos += count;
+    if (pos > nbits) { pos = nbits; is_short = true; }
+  }
+
+  inline uint64_t read(int count) {
+    int got;
+    uint64_t v = try_peek(count, &got);
+    skip(count);
+    return v;
+  }
+
+  inline bool read_bit() { return read(1) != 0; }
+};
+
+// ---------------------------------------------------------------- setup model
+
+struct Codebook {
+  int32_t dims, entries, table_bits, max_bits, ov_count;
+  const int32_t* tbl_value;   // [1 << table_bits]
+  const int32_t* tbl_length;
+  const int32_t* ov;          // [ov_count][4]: code, mask, length, value
+  const float* lookup;        // [entries * dims] or nullptr
+
+  // NVorbis/Codebook.cs:294-320
+  inline int decode_scalar(BitReader& br) const {
+    if (max_bits < 0) {  // all-unused codebook
+      return -1;
+    }
+    int got;
+    uint64_t data = br.try_peek(table_bits, &got);
+    if (got == 0) return -1;
+    int32_t len = tbl_length[data];
+    if (len > 0) {
+      br.skip(len);
+      return tbl_value[data];
+    }
+    data = br.try_peek(max_bits, &got);
+    for (int i = 0; i < ov_count; ++i) {
+      const int32_t* o = &ov[i * 4];
+      if ((uint32_t)o[0] == ((uint32_t)data & (uint32_t)o[1])) {
+        br.skip(o[2]);
+        return o[3];
+      }
+    }
+    return -1;
+  }
+};
+
+struct Floor1 {
+  int32_t partition_count, max_class, post_count, y_bits, range, multiplier;
+  const int32_t* partition_class;  // [partition_count]
+  const int32_t* class_dims;       // [max_class]
+  const int32_t* class_subclasses; // [max_class]
+  const int32_t* masterbooks;      // [max_class] (-1 = none)
+  const int32_t* subclass_books;   // [max_class * 8] (-1 = none)
+  const int32_t* x_list;           // [post_count]
+  const int32_t* l_neigh;          // [post_count]
+  const int32_t* h_neigh;          // [post_count]
+  const int32_t* sort_idx;         // [post_count]
+};
+
+struct Residue {
+  int32_t type, begin, end, partition_size, classifications, classbook,
+      max_stages, partvals, cb_dims;
+  const int32_t* cascade;     // [classifications]
+  const int32_t* books;       // [classifications * max_stages] (-1 = none)
+  const int32_t* decode_map;  // [partvals * cb_dims]
+};
+
+struct Mapping {
+  int32_t submap_count, coupling_count;
+  const int32_t* mag;            // [coupling_count]
+  const int32_t* ang;            // [coupling_count]
+  const int32_t* mux;            // [channels]
+  const int32_t* submap_floor;   // [submap_count]
+  const int32_t* submap_residue; // [submap_count]
+};
+
+struct Mode {
+  int32_t block_flag, block_size, mapping_idx;
+};
+
+struct Setup {
+  int32_t channels, mode_field_bits, max_posts, block0, block1, n2max;
+  std::vector<Codebook> books;
+  std::vector<Floor1> floors;       // floor type 0 disables native path
+  std::vector<int32_t> floor_types;
+  std::vector<Residue> residues;
+  std::vector<Mapping> mappings;
+  std::vector<Mode> modes;
+  std::vector<int32_t> blob_i;  // owned copies
+  std::vector<float> blob_f;
+};
+
+constexpr int32_t kMagic = 0x4E565431;  // "NVT1"
+
+// ------------------------------------------------------------- floor1 unpack
+
+// Reference: NVorbis/Floor1.cs:299-314
+inline int render_point(int x0, int y0, int x1, int y1, int x) {
+  int dy = y1 - y0;
+  int adx = x1 - x0;
+  int off = (int)(((int64_t)std::abs(dy) * (x - x0)) / adx);
+  return dy < 0 ? y0 - off : y0 + off;
+}
+
+// Decode + unwrap one channel's floor1 posts.  Outputs ys (sorted-X order,
+// pre-multiplied) and used flags; returns has_floor.
+// Reference: NVorbis/Floor1.cs:135-184 (unpack), 224-297 (unwrap).
+bool floor1_unpack(const Setup& s, const Floor1& f, BitReader& br,
+                   int32_t* ys_out, uint8_t* used_out, int P) {
+  std::memset(ys_out, 0, sizeof(int32_t) * P);
+  std::memset(used_out, 0, P);
+  if (!br.read_bit()) return false;
+
+  std::vector<int> posts(f.post_count, 0);
+  posts[0] = (int)br.read(f.y_bits);
+  posts[1] = (int)br.read(f.y_bits);
+  int post_idx = 2;
+  for (int pi = 0; pi < f.partition_count; ++pi) {
+    int cls = f.partition_class[pi];
+    int cdim = f.class_dims[cls];
+    int cbits = f.class_subclasses[cls];
+    int csub = (1 << cbits) - 1;
+    int cval = 0;
+    if (cbits > 0) {
+      cval = s.books[f.masterbooks[cls]].decode_scalar(br);
+      if (cval == -1) return false;
+    }
+    for (int d = 0; d < cdim; ++d) {
+      int32_t bnum = f.subclass_books[cls * 8 + (cval & csub)];
+      cval >>= cbits;
+      if (bnum >= 0) {
+        int val = s.books[bnum].decode_scalar(br);
+        if (val == -1) return false;
+        posts[post_idx] = val;
+      }
+      ++post_idx;
+    }
+  }
+
+  // unwrap
+  std::vector<int> final_y(f.post_count);
+  std::vector<uint8_t> used(f.post_count, 0);
+  final_y[0] = posts[0];
+  final_y[1] = posts[1];
+  used[0] = used[1] = 1;
+  for (int i = 2; i < f.post_count; ++i) {
+    int lo = f.l_neigh[i], hi = f.h_neigh[i];
+    int predicted = render_point(f.x_list[lo], final_y[lo], f.x_list[hi],
+                                 final_y[hi], f.x_list[i]);
+    int val = posts[i];
+    int high_room = f.range - predicted;
+    int low_room = predicted;
+    int room = 2 * (high_room < low_room ? high_room : low_room);
+    if (val != 0) {
+      used[lo] = used[hi] = used[i] = 1;
+      if (val >= room) {
+        final_y[i] = high_room > low_room ? val - low_room + predicted
+                                          : predicted - val + high_room - 1;
+      } else {
+        final_y[i] = (val & 1) ? predicted - ((val + 1) >> 1)
+                               : predicted + (val >> 1);
+      }
+    } else {
+      used[i] = 0;
+      final_y[i] = predicted;
+    }
+  }
+  for (int i = 0; i < f.post_count; ++i) {
+    int si = f.sort_idx[i];
+    ys_out[i] = final_y[si] * f.multiplier;
+    used_out[i] = used[si];
+  }
+  return true;
+}
+
+// ------------------------------------------------------------ residue decode
+
+// Accumulate one partition's VQ vectors; returns true on packet truncation.
+// Reference: NVorbis/Residue0.cs:180-201 (type 0), Residue1.cs:8-26.
+inline bool write_vectors(const Codebook& book, BitReader& br, float* res,
+                          int64_t res_len, int offset, int psize, int type) {
+  int dims = book.dims;
+  if (type == 0) {
+    int steps = psize / dims;
+    // dimension-major: res[offset + d*steps + i] += lookup[e_i, d]
+    // entries first (matching the numpy batch layout exactly)
+    int stack_entries[256];
+    std::vector<int> heap_entries;
+    int* entries = stack_entries;
+    if (steps > 256) {
+      heap_entries.resize(steps);
+      entries = heap_entries.data();
+    }
+    for (int i = 0; i < steps; ++i) {
+      int e = book.decode_scalar(br);
+      if (e == -1) return true;
+      entries[i] = e;
+    }
+    for (int d = 0; d < dims; ++d)
+      for (int i = 0; i < steps; ++i)
+        res[offset + d * steps + i] += book.lookup[entries[i] * dims + d];
+    return false;
+  }
+  // types 1/2: contiguous vectors until i >= psize (may overshoot when dims
+  // does not divide psize); truncated packets keep the vectors read so far
+  int steps = (psize + dims - 1) / dims;
+  int o = offset;
+  for (int i = 0; i < steps; ++i) {
+    int e = book.decode_scalar(br);
+    if (e == -1) return true;
+    const float* row = &book.lookup[(int64_t)e * dims];
+    for (int d = 0; d < dims && o < res_len; ++d, ++o) res[o] += row[d];
+  }
+  return false;
+}
+
+// Decode residue for the channels of one submap.
+// `bufs[c]` points at the channel's dense residue row (length n2 for types
+// 0/1); for type 2 decoding is logically over one interleaved vector of
+// length n2*ch and de-interleaved on the fly.
+// Reference: NVorbis/Residue0.cs:119-178.
+void residue_decode(const Setup& s, const Residue& r, BitReader& br,
+                    const std::vector<float*>& bufs,
+                    const std::vector<uint8_t>& do_not_decode, int block_size) {
+  int ch = (int)bufs.size();
+  bool all_dnd = true;
+  for (uint8_t d : do_not_decode) all_dnd &= (d != 0);
+  if (all_dnd) return;
+
+  int type = r.type;
+  int64_t half = (type == 2) ? (int64_t)block_size * ch / 2 : block_size / 2;
+  int eff_ch = (type == 2) ? 1 : ch;
+
+  int end = (int)std::min<int64_t>(r.end, half);
+  int n = end - r.begin;
+  if (n <= 0) return;
+  int psize = r.partition_size;
+  int partitions = n / psize;
+  const Codebook& cb = s.books[r.classbook];
+  int cb_dims = r.cb_dims;
+  int part_words = (partitions + cb_dims - 1) / cb_dims;
+
+  // classword cache: [eff_ch][part_words] -> decode_map row
+  std::vector<const int32_t*> cache((size_t)eff_ch * part_words, nullptr);
+
+  // type 2 writes through a virtual interleaved vector
+  auto add_t2 = [&](int64_t pos, float v) {
+    bufs[pos % ch][pos / ch] += v;
+  };
+
+  for (int stage = 0; stage < r.max_stages; ++stage) {
+    int pi = 0, ei = 0;
+    while (pi < partitions) {
+      if (stage == 0) {
+        for (int c = 0; c < eff_ch; ++c) {
+          if (eff_ch > 1 && do_not_decode[c]) continue;
+          int idx = cb.decode_scalar(br);
+          if (idx < 0 || idx >= r.partvals) return;  // bail, keep partial
+          cache[(size_t)c * part_words + ei] = &r.decode_map[(int64_t)idx * cb_dims];
+        }
+      }
+      for (int d = 0; d < cb_dims && pi < partitions; ++d, ++pi) {
+        int offset = r.begin + pi * psize;
+        for (int c = 0; c < eff_ch; ++c) {
+          if (eff_ch > 1 && do_not_decode[c]) continue;
+          const int32_t* row = cache[(size_t)c * part_words + ei];
+          int cls = row[d];
+          if (r.cascade[cls] & (1 << stage)) {
+            int32_t bnum = r.books[(int64_t)cls * r.max_stages + stage];
+            if (bnum >= 0) {
+              const Codebook& book = s.books[bnum];
+              if (type == 2) {
+                // inline de-interleaved write_vectors (types 1/2 layout)
+                int dims = book.dims;
+                int steps = (psize + dims - 1) / dims;
+                int64_t o = offset;
+                bool bail = false;
+                for (int i = 0; i < steps && !bail; ++i) {
+                  int e = book.decode_scalar(br);
+                  if (e == -1) { bail = true; break; }
+                  const float* rowv = &book.lookup[(int64_t)e * dims];
+                  for (int dd = 0; dd < dims && o < half; ++dd, ++o)
+                    add_t2(o, rowv[dd]);
+                }
+                if (bail) return;
+              } else {
+                if (write_vectors(book, br, bufs[c], block_size / 2, offset,
+                                  psize, type))
+                  return;
+              }
+            }
+          }
+        }
+      }
+      ++ei;
+    }
+  }
+}
+
+// ------------------------------------------------------------ packet unpack
+
+// meta layout per packet: [status, mode_idx, window_index, bits_read,
+//                          total_bits, 0, 0, 0]
+// status: 1 = audio frame; 0 = not audio; -1 = malformed (treated as bad)
+void unpack_one(const Setup& s, const uint8_t* bytes, int64_t nbytes,
+                float* residue_out,  // [C, n2max]
+                int32_t* ys_out,     // [C, P]
+                uint8_t* used_out,   // [C, P]
+                uint8_t* has_floor_out,  // [C]
+                int32_t* meta) {
+  int C = s.channels;
+  int P = s.max_posts;
+  BitReader br(bytes, nbytes);
+  std::memset(meta, 0, sizeof(int32_t) * 8);
+  meta[4] = (int32_t)br.nbits;
+
+  if (br.read_bit()) {  // not an audio packet
+    meta[0] = 0;
+    meta[3] = (int32_t)br.pos;
+    return;
+  }
+  int mode_idx = (int)br.read(s.mode_field_bits);
+  // NVorbis/Mode.cs:119-127: a packet exhausted before the window flags is
+  // not decodable (mirrors the python path's is_short check)
+  if (mode_idx >= (int)s.modes.size() || br.is_short) {
+    meta[0] = -1;
+    meta[3] = (int32_t)br.pos;
+    return;
+  }
+  const Mode& mode = s.modes[mode_idx];
+  int window_index = 0;
+  if (mode.block_flag) {
+    bool prev_flag = br.read_bit();
+    bool next_flag = br.read_bit();
+    window_index = (prev_flag ? 1 : 0) + (next_flag ? 2 : 0);
+  }
+  const Mapping& mapping = s.mappings[mode.mapping_idx];
+  int n = mode.block_size;
+  int n2 = n / 2;
+
+  // floors, per channel (NVorbis/Mapping.cs:100-109)
+  for (int c = 0; c < C; ++c) {
+    const Floor1& f = s.floors[mapping.submap_floor[mapping.mux[c]]];
+    bool hf = floor1_unpack(s, f, br, &ys_out[(int64_t)c * P],
+                            &used_out[(int64_t)c * P], P);
+    has_floor_out[c] = hf ? 1 : 0;
+  }
+
+  // coupling no-energy propagation (NVorbis/Mapping.cs:112-119)
+  std::vector<uint8_t> execute(has_floor_out, has_floor_out + C);
+  for (int i = 0; i < mapping.coupling_count; ++i) {
+    int m = mapping.mag[i], a = mapping.ang[i];
+    if (execute[m] || execute[a]) execute[m] = execute[a] = 1;
+  }
+
+  // residues per submap (NVorbis/Mapping.cs:121-134)
+  for (int i = 0; i < mapping.submap_count; ++i) {
+    std::vector<float*> bufs;
+    std::vector<uint8_t> dnd;
+    for (int c = 0; c < C; ++c) {
+      if (mapping.mux[c] == i) {
+        bufs.push_back(&residue_out[(int64_t)c * s.n2max]);
+        dnd.push_back(execute[c] ? 0 : 1);
+      }
+    }
+    const Residue& r = s.residues[mapping.submap_residue[i]];
+    residue_decode(s, r, br, bufs, dnd, n);
+  }
+
+  meta[0] = 1;
+  meta[1] = mode_idx;
+  meta[2] = window_index;
+  meta[3] = (int32_t)br.pos;
+  (void)n2;
+}
+
+}  // namespace
+
+// ------------------------------------------------------------------ C API
+
+extern "C" {
+
+// Parse the serialized setup blobs; returns nullptr when the setup cannot be
+// handled natively (e.g. contains a Floor0).
+void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
+                       int64_t nf) {
+  if (ni < 12 || blob_i[0] != kMagic) return nullptr;
+  Setup* s = new Setup();
+  s->blob_i.assign(blob_i, blob_i + ni);
+  s->blob_f.assign(blob_f, blob_f + nf);
+  const int32_t* p = s->blob_i.data();
+  const float* fp = s->blob_f.data();
+
+  int64_t i = 1;
+  s->channels = p[i++];
+  s->mode_field_bits = p[i++];
+  int n_books = p[i++];
+  int n_floors = p[i++];
+  int n_residues = p[i++];
+  int n_mappings = p[i++];
+  int n_modes = p[i++];
+  s->max_posts = p[i++];
+  s->block0 = p[i++];
+  s->block1 = p[i++];
+  s->n2max = p[i++];
+
+  for (int b = 0; b < n_books; ++b) {
+    Codebook cb;
+    cb.dims = p[i++]; cb.entries = p[i++]; cb.table_bits = p[i++];
+    cb.max_bits = p[i++]; cb.ov_count = p[i++];
+    int has_lookup = p[i++];
+    int64_t lookup_off = p[i++];
+    int64_t tbl = 1ll << cb.table_bits;
+    cb.tbl_value = &p[i]; i += tbl;
+    cb.tbl_length = &p[i]; i += tbl;
+    cb.ov = &p[i]; i += (int64_t)cb.ov_count * 4;
+    cb.lookup = has_lookup ? &fp[lookup_off] : nullptr;
+    s->books.push_back(cb);
+  }
+  for (int f = 0; f < n_floors; ++f) {
+    int type = p[i++];
+    s->floor_types.push_back(type);
+    if (type != 1) { delete s; return nullptr; }  // Floor0: python fallback
+    Floor1 fl;
+    fl.partition_count = p[i++]; fl.max_class = p[i++]; fl.post_count = p[i++];
+    fl.y_bits = p[i++]; fl.range = p[i++]; fl.multiplier = p[i++];
+    fl.partition_class = &p[i]; i += fl.partition_count;
+    fl.class_dims = &p[i]; i += fl.max_class;
+    fl.class_subclasses = &p[i]; i += fl.max_class;
+    fl.masterbooks = &p[i]; i += fl.max_class;
+    fl.subclass_books = &p[i]; i += (int64_t)fl.max_class * 8;
+    fl.x_list = &p[i]; i += fl.post_count;
+    fl.l_neigh = &p[i]; i += fl.post_count;
+    fl.h_neigh = &p[i]; i += fl.post_count;
+    fl.sort_idx = &p[i]; i += fl.post_count;
+    s->floors.push_back(fl);
+  }
+  for (int r = 0; r < n_residues; ++r) {
+    Residue rs;
+    rs.type = p[i++]; rs.begin = p[i++]; rs.end = p[i++];
+    rs.partition_size = p[i++]; rs.classifications = p[i++];
+    rs.classbook = p[i++]; rs.max_stages = p[i++]; rs.partvals = p[i++];
+    rs.cb_dims = p[i++];
+    rs.cascade = &p[i]; i += rs.classifications;
+    rs.books = &p[i]; i += (int64_t)rs.classifications * rs.max_stages;
+    rs.decode_map = &p[i]; i += (int64_t)rs.partvals * rs.cb_dims;
+    s->residues.push_back(rs);
+  }
+  for (int m = 0; m < n_mappings; ++m) {
+    Mapping mp;
+    mp.submap_count = p[i++]; mp.coupling_count = p[i++];
+    mp.mag = &p[i]; i += mp.coupling_count;
+    mp.ang = &p[i]; i += mp.coupling_count;
+    mp.mux = &p[i]; i += s->channels;
+    mp.submap_floor = &p[i]; i += mp.submap_count;
+    mp.submap_residue = &p[i]; i += mp.submap_count;
+    s->mappings.push_back(mp);
+  }
+  for (int m = 0; m < n_modes; ++m) {
+    Mode md;
+    md.block_flag = p[i++]; md.block_size = p[i++]; md.mapping_idx = p[i++];
+    s->modes.push_back(md);
+  }
+  if (i > ni) { delete s; return nullptr; }
+  return s;
+}
+
+void nvt_setup_destroy(void* setup) { delete (Setup*)setup; }
+
+// Unpack a window of packets into dense tensors (outputs must be
+// zero-initialized by the caller).  `offsets` has n_packets+1 entries into
+// `bytes`.  Fans out over an internal thread pool.
+void nvt_unpack_window(void* setup, const uint8_t* bytes,
+                       const int64_t* offsets, int32_t n_packets,
+                       float* residue,      // [n_packets, C, n2max]
+                       int32_t* ys,         // [n_packets, C, P]
+                       uint8_t* used,       // [n_packets, C, P]
+                       uint8_t* has_floor,  // [n_packets, C]
+                       int32_t* meta,       // [n_packets, 8]
+                       int32_t n_threads) {
+  Setup* s = (Setup*)setup;
+  int C = s->channels;
+  int P = s->max_posts;
+  int64_t n2max = s->n2max;
+
+  auto work = [&](int k) {
+    unpack_one(*s, bytes + offsets[k], offsets[k + 1] - offsets[k],
+               residue + (int64_t)k * C * n2max, ys + (int64_t)k * C * P,
+               used + (int64_t)k * C * P, has_floor + (int64_t)k * C,
+               meta + (int64_t)k * 8);
+  };
+
+  int hw = (int)std::thread::hardware_concurrency();
+  int nt = n_threads > 0 ? n_threads : std::max(1, std::min(hw, 16));
+  nt = std::min(nt, n_packets);
+  if (nt <= 1) {
+    for (int k = 0; k < n_packets; ++k) work(k);
+    return;
+  }
+  std::atomic<int> next(0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&]() {
+      for (;;) {
+        int k = next.fetch_add(1);
+        if (k >= n_packets) break;
+        work(k);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -35,7 +35,7 @@ class _PacketResult:
         "pcm", "start", "valid", "total",
         "is_end_of_stream", "granule_pos", "is_resync",
         "bits_read", "bits_remaining", "container_overhead_bits",
-        "_frame",
+        "_frame", "_lazy",
     )
 
     def __init__(self):
@@ -50,6 +50,7 @@ class _PacketResult:
         self.bits_remaining = 0
         self.container_overhead_bits = 0
         self._frame = None
+        self._lazy = None
 
 
 class _OraclePipeline:

@@ -50,26 +50,43 @@ def _render_floor1_curves(xs, ys, used, has_floor, idb_table, n2):
     ``adx = min(hx, n2) - lx`` (the reference clips X but not Y at n2, which
     alters the final segment's slope; reproduced).
     """
-    if xs.ndim == 2:
-        xs = xs[None]  # [1, C, P], broadcasts over the batch
     B, C, P = ys.shape
-    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, n2), 3)
-    xs_b = xs[:, :, :, None]  # [1|B, C, P, 1]
-    used_b = used[:, :, :, None]  # [B, C, P, 1]
-    p_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, P, 1), 2)
+    if xs.ndim == 2:
+        xs = jnp.broadcast_to(xs[None], (B, C, P))
+    else:
+        xs = jnp.broadcast_to(xs, (B, C, P))
 
-    # left neighbor: largest used post with xs <= bin
-    le = used_b & (xs_b <= bins)  # [B, C, P, n2]
-    left = jnp.max(jnp.where(le, p_idx, -1), axis=2)  # [B, C, n2]
-    # right neighbor: smallest used post with xs > bin
-    gt = used_b & (xs_b > bins)
-    right = jnp.min(jnp.where(gt, p_idx, P), axis=2)  # [B, C, n2]
+    # Neighbor search is O(n2) per channel (not O(P*n2)): scatter each used
+    # post's index at its bin position, then a cumulative max gives, per bin,
+    # the largest used post with xs <= bin; a reverse cumulative min (shifted
+    # by one) gives the smallest used post with xs > bin.  Posts at/after n2
+    # cannot be scattered but can still be right neighbors (the reference
+    # clips X at n2 mid-segment) — folded in via a per-channel fallback.
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (B, C, P), 2)
+    in_range = used & (xs < n2)
+    xs_cl = jnp.clip(xs, 0, n2 - 1)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, C, P), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (B, C, P), 1)
+
+    left_scat = jnp.full((B, C, n2), -1, dtype=jnp.int32)
+    left_scat = left_scat.at[b_idx, c_idx, xs_cl].max(jnp.where(in_range, p_idx, -1))
+    left = jax.lax.cummax(left_scat, axis=2)  # [B, C, n2]
+
+    right_scat = jnp.full((B, C, n2), P, dtype=jnp.int32)
+    right_scat = right_scat.at[b_idx, c_idx, xs_cl].min(jnp.where(in_range, p_idx, P))
+    rc = jax.lax.cummin(right_scat[:, :, ::-1], axis=2)[:, :, ::-1]
+    # right[x] = min over bins > x, plus used posts at/after n2
+    tail_fallback = jnp.min(jnp.where(used & (xs >= n2), p_idx, P), axis=2)
+    right = jnp.concatenate(
+        [rc[:, :, 1:], jnp.full((B, C, 1), P, dtype=jnp.int32)], axis=2
+    )
+    right = jnp.minimum(right, tail_fallback[:, :, None])
 
     left_safe = jnp.clip(left, 0, P - 1)
     right_safe = jnp.clip(right, 0, P - 1)
     has_right = right < P
 
-    lx = jnp.take_along_axis(xs, left_safe, axis=2)  # broadcast over B
+    lx = jnp.take_along_axis(xs, left_safe, axis=2)
     ly = jnp.take_along_axis(ys, left_safe, axis=2)
     hx = jnp.take_along_axis(xs, right_safe, axis=2)
     hy = jnp.take_along_axis(ys, right_safe, axis=2)
@@ -77,7 +94,8 @@ def _render_floor1_curves(xs, ys, used, has_floor, idb_table, n2):
     dy = hy - ly
     adx = jnp.minimum(hx, n2) - lx
     adx_safe = jnp.maximum(adx, 1)
-    t = bins[0, 0] - lx  # [B, C, n2] via broadcast
+    bins = jax.lax.broadcasted_iota(jnp.int32, (B, C, n2), 2)
+    t = bins - lx
     off = (t * jnp.abs(dy)) // adx_safe
     y = ly + jnp.where(dy < 0, -off, off)
     y = jnp.where(has_right & (adx > 0), y, ly)
@@ -106,8 +124,49 @@ def _apply_inverse_coupling(residue, coupling_steps):
     return residue
 
 
+@functools.partial(jax.jit, static_argnames=("coupling", "has_f0"))
+def _synth_program(
+    residue, ys, used, has_floor, window_index, f0_curves, xs, windows, basis,
+    *, coupling, has_f0,
+):
+    """The fused batched synthesis program, stream-agnostic.
+
+    All per-stream tables (floor X positions, window set, IMDCT basis) are
+    *arguments*, so the jit cache is shared across every stream/reader with
+    the same shapes and coupling topology — opening a new file never
+    recompiles.  ``f0_curves`` carries host-rendered Floor0 gains for the
+    (rare) Floor0 channels; ``floor1`` channels are marked by ``xs < _XS_PAD``
+    in their first slot via ``has_f0`` handling below.
+    """
+    n2 = residue.shape[-1]
+    n = basis.shape[-1]
+    residue = _apply_inverse_coupling(residue, coupling)
+    curve = _render_floor1_curves(xs, ys, used, has_floor, jnp.asarray(INVERSE_DB_TABLE), n2)
+    if has_f0:
+        # channels whose floor is Floor0 have no floor1 posts: xs[...,0] is
+        # the pad value; substitute the host-rendered curve there
+        floor1_mask = xs[..., 0] < _XS_PAD  # [C] or [B, C]
+        if floor1_mask.ndim == 1:
+            floor1_mask = floor1_mask[None]
+        curve = jnp.where(floor1_mask[:, :, None], curve, f0_curves)
+    spectrum = residue * curve
+    pcm = jnp.dot(
+        spectrum.reshape(-1, n2),
+        basis,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(residue.shape[0], residue.shape[1], n)
+    win = jnp.take(windows, window_index, axis=0)  # [B, n]
+    return pcm * win[:, None, :]
+
+
 class DeviceSynth:
-    """Compiled batched synthesis for one (setup, mode) pair."""
+    """Batched synthesis front-end for one (setup, mode) pair.
+
+    Holds the stream's device-resident constant tables (floor X positions,
+    windows, IMDCT basis) and feeds them to the shared jitted
+    :func:`_synth_program`.
+    """
 
     def __init__(self, setup, mode, max_posts=None):
         self.mode = mode
@@ -137,41 +196,27 @@ class DeviceSynth:
 
         self._windows = np.stack(mode.windows).astype(np.float32)  # [W, n]
         self._basis = imdct_basis(self.n, np.float32)  # [n2, n]
-        self._fns = {}
+        # device-resident constants, transferred once per stream
+        self._xs_dev = jnp.asarray(self._xs)
+        self._windows_dev = jnp.asarray(self._windows)
+        self._basis_dev = jnp.asarray(self._basis)
 
     # -- program ------------------------------------------------------------
 
     def make_fn(self):
-        """Build the pure batched synthesis closure (constants captured)."""
-        xs = jnp.asarray(self._xs)
-        windows = jnp.asarray(self._windows)
-        basis = jnp.asarray(self._basis)
-        idb = jnp.asarray(INVERSE_DB_TABLE)
-        n = self.n
-        n2 = self.n2
+        """Pure batched synthesis closure over this stream's tables
+        (for the driver's single-chip compile check)."""
+        xs, windows, basis = self._xs_dev, self._windows_dev, self._basis_dev
         coupling = self.coupling_steps
-        floor1_mask = jnp.asarray(self.floor1_mask)
         has_f0 = self.has_floor0
 
         def synth(residue, ys, used, has_floor, window_index, f0_curves):
-            residue = _apply_inverse_coupling(residue, coupling)
-            curve = _render_floor1_curves(xs, ys, used, has_floor, idb, n2)
-            if has_f0:
-                curve = jnp.where(floor1_mask[None, :, None], curve, f0_curves)
-            spectrum = residue * curve
-            pcm = jnp.dot(
-                spectrum.reshape(-1, n2),
-                basis,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).reshape(residue.shape[0], residue.shape[1], n)
-            win = jnp.take(windows, window_index, axis=0)  # [B, n]
-            return pcm * win[:, None, :]
+            return _synth_program(
+                residue, ys, used, has_floor, window_index, f0_curves,
+                xs, windows, basis, coupling=coupling, has_f0=has_f0,
+            )
 
         return synth
-
-    def _build(self, batch):
-        return jax.jit(self.make_fn())
 
     @staticmethod
     def _bucket(b: int) -> int:
@@ -187,11 +232,13 @@ class DeviceSynth:
             p <<= 2
         return p
 
-    def __call__(self, residue, ys, used, has_floor, window_index, f0_curves=None):
-        """Synthesize a batch; numpy in, numpy ``[B, C, n]`` out.
+    def dispatch(self, residue, ys, used, has_floor, window_index, f0_curves=None):
+        """Dispatch a batch asynchronously; returns ``(device_array, b)``.
 
-        Inputs are padded up to the next power-of-two batch size (padding
-        frames decode to silence and are sliced off).
+        Inputs are padded up to a coarse bucket size (padding frames decode
+        to silence).  The result is a live jax array — conversion to numpy
+        (and thus the device sync) is deferred to the caller so host unpack
+        of the next window overlaps device compute.
         """
         b = residue.shape[0]
         bp = self._bucket(b)
@@ -205,18 +252,25 @@ class DeviceSynth:
             if f0_curves is not None:
                 f0_curves = np.pad(f0_curves, [(0, bp - b), (0, 0), (0, 0)])
         if f0_curves is None:
-            f0_curves = np.zeros((bp, self.channels, self.n2), dtype=np.float32)
-
-        fn = self._fns.get(bp)
-        if fn is None:
-            fn = self._build(bp)
-            self._fns[bp] = fn
-        out = fn(
+            f0_curves = np.zeros((1, 1, 1), dtype=np.float32)
+            if self.has_floor0:
+                f0_curves = np.zeros((bp, self.channels, self.n2), dtype=np.float32)
+        out = _synth_program(
             jnp.asarray(residue),
             jnp.asarray(ys),
             jnp.asarray(used),
             jnp.asarray(has_floor),
             jnp.asarray(window_index),
             jnp.asarray(f0_curves),
+            self._xs_dev,
+            self._windows_dev,
+            self._basis_dev,
+            coupling=self.coupling_steps,
+            has_f0=self.has_floor0,
         )
+        return out, b
+
+    def __call__(self, residue, ys, used, has_floor, window_index, f0_curves=None):
+        """Synchronous convenience wrapper: numpy in, numpy ``[B, C, n]`` out."""
+        out, b = self.dispatch(residue, ys, used, has_floor, window_index, f0_curves)
         return np.asarray(out)[:b]
