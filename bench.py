@@ -1,8 +1,10 @@
 """Benchmark: decoded audio seconds per wall second per chip (x-realtime).
 
-Decodes the stereo 44.1 kHz fixture end-to-end (Ogg container -> host
-bit-plane -> batched device synthesis -> overlap-add -> interleaved PCM)
-repeatedly and reports the steady-state throughput multiple of realtime.
+Decodes a long-form stereo 44.1 kHz stream (synthesized once from the
+reference fixture by repeating its audio packets with consistent window
+flags and regenerated granules/CRCs — see nvorbis_tpu/testgen/ogg_writer.py)
+end-to-end: Ogg container -> C++ host bit-plane -> fused batched device
+synthesis + device-side overlap-add -> chunked PCM fetch.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the ratio against the 500x-realtime north-star target
@@ -10,46 +12,57 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
-FIXTURE = "/root/reference/TestFiles/3test.ogg"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+SRC_FIXTURE = "/root/reference/TestFiles/3test.ogg"
+CACHE_DIR = "/root/repo/.benchcache"
+REPEATS = 64  # ~7 minutes of stereo 44.1 kHz audio
 TARGET_X_REALTIME = 500.0
 
 
+def get_fixture():
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"long3_x{REPEATS}.ogg")
+    if not os.path.exists(path):
+        from nvorbis_tpu.testgen.ogg_writer import make_long_stream
+
+        make_long_stream(SRC_FIXTURE, REPEATS, path)
+    return path
+
+
 def decode_once(raw, engine):
-    import numpy as np
     import nvorbis_tpu as nv
 
     r = nv.VorbisReader(raw, engine=engine)
     pcm = r.read_all()
-    rate = r.sample_rate
-    channels = r.channels
+    audio_sec = len(pcm) / r.channels / r.sample_rate
     r.dispose()
-    return len(pcm) / channels / rate, pcm
+    return audio_sec
 
 
 def main():
-    engine = "jax"
-    if "--oracle" in sys.argv:
-        engine = "oracle"
-    raw = open(FIXTURE, "rb").read()
+    engine = "oracle" if "--oracle" in sys.argv else "jax"
+    raw = open(get_fixture(), "rb").read()
 
-    # warmup: populate jit caches
-    audio_sec, _ = decode_once(raw, engine)
+    # warmup populates jit + persistent compilation caches
+    decode_once(open(SRC_FIXTURE, "rb").read(), engine)
 
-    reps = 3
+    reps = 2
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
-        audio_sec, _ = decode_once(raw, engine)
+        audio_sec = decode_once(raw, engine)
         dt = time.perf_counter() - t0
         best = max(best, audio_sec / dt)
 
     print(
         json.dumps(
             {
-                "metric": "decode_throughput_stereo_44k1",
+                "metric": "decode_throughput_stereo_44k1_longform",
                 "value": round(best, 3),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(best / TARGET_X_REALTIME, 4),

@@ -41,7 +41,9 @@ class _LazyBatch:
 
     def get(self, i):
         if self._np is None:
-            self._np = np.asarray(self.dev)
+            from nvorbis_tpu.utils.fetch import fetch_np
+
+            self._np = fetch_np(self.dev)
         return np.array(self._np[i])  # writable copy for overlap-add
 
 

@@ -1,0 +1,468 @@
+"""Bulk decode: whole-stream (chunked) synthesis + overlap-add ON DEVICE.
+
+The streaming path fetches every frame's full windowed block ``[C, n]`` and
+overlap-adds on the host — ~2x the audio bytes across the device->host link
+plus one round trip per window.  For a full-stream decode the lapped
+overlap-add is a *static dataflow* once the per-frame lapping offsets are
+known, so this module:
+
+1. runs the int-only lapping state machine of the reference read loop
+   (``NVorbis/StreamDecoder.cs:417-541``: first-packet discard, failed-packet
+   tail drain, granule position pickup, end-of-stream trim) on the host over
+   the native unpack metadata — producing one absolute scatter offset per
+   frame;
+2. compiles ONE fused XLA program per chunk shape that synthesizes every
+   frame (all mode buckets) AND scatter-adds the windowed blocks into a flat
+   ``[L, C]`` sample buffer — each output position receives at most the two
+   lapped contributions, and float addition of two terms is commutative, so
+   the result is bit-identical to the host overlap-add;
+3. fetches exactly the final samples (plus bounded padding) once per chunk.
+
+Device->host traffic becomes ~1x the audio bytes and the dispatch count
+drops to one per ~2048 frames — this is what makes the TPU path fast through
+a high-latency link.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nvorbis_tpu.synth.device import DeviceSynth, synth_core
+
+CHUNK_FRAMES = 8192
+L_QUANTUM = 65536
+
+
+class FramePlan:
+    """Per-packet lapping plan entry (ints only)."""
+
+    __slots__ = ("ok", "pos_base", "start", "valid", "total", "samples")
+
+    def __init__(self, ok, pos_base=0, start=0, valid=0, total=0, samples=0):
+        self.ok = ok
+        self.pos_base = pos_base  # scatter index of the frame's sample 0
+        self.start = start
+        self.valid = valid
+        self.total = total
+        self.samples = samples  # consumed contribution (for stats)
+
+
+class StreamPlanner:
+    """Incremental replication of the reference read-loop lapping state.
+
+    Feed packets in order via :meth:`add`; consult ``emitted`` (total
+    consumed samples, in scatter coordinates) and ``stream_pos0`` (stream
+    sample position of scatter coordinate 0).
+    """
+
+    def __init__(self, start_position=0):
+        self.emitted = 0          # scatter coord of the next consumed sample
+        self.stream_pos0 = start_position
+        self.has_position = False
+        self.prev = None          # (A, start, valid, total) of previous frame
+        self.prev_drained = False
+        self.first = True
+        self.eos_found = False
+
+    def add(self, ok, start, valid, total, granule, is_eos, is_resync,
+            block_size=None, prev_plan=None):
+        """Returns a FramePlan for this packet.
+
+        ``prev_plan``: the previous good frame's plan — its scatterable tail
+        is clamped to this frame's block capacity (mirrors the reference's
+        fixed-size scratch discard of overlap spill on malformed
+        window-flag transitions)."""
+        if is_resync:
+            self.has_position = False
+        if is_eos:
+            self.eos_found = True
+        if not ok:
+            # failed packet: drain the previous frame's tail
+            # (StreamDecoder.cs:352-356 via _prev_end = _prev_stop)
+            if self.prev is not None and not self.prev_drained:
+                A, p_start, p_valid, p_total = self.prev
+                self.emitted = A + (p_total - p_start)
+                self.prev_drained = True
+            return FramePlan(False)
+
+        if self.prev is None:
+            # very first frame: all of it is lapping lead-in
+            # (StreamDecoder.cs:448-451); consumed region starts empty
+            A = -(valid - start)
+            samples = 0
+        elif self.prev_drained:
+            p_A, p_start, p_valid, p_total = self.prev
+            A = p_A + (p_total - p_start)
+            samples = valid - start
+        else:
+            p_A, p_start, p_valid, p_total = self.prev
+            A = p_A + (p_valid - p_start)
+            samples = valid - start
+
+        # end-of-stream trim to the final granule (StreamDecoder.cs:428-437).
+        # NB: the reference trims with the *pre-pickup* position (the pickup
+        # below runs after the packet is lapped, StreamDecoder.cs:358-363)
+        if granule is not None and is_eos:
+            actual_end = self.stream_pos0 + self.emitted + samples
+            diff = granule - actual_end
+            if diff < 0:
+                valid += diff
+                samples += diff
+
+        # granule position pickup (StreamDecoder.cs:358-363, 480-484)
+        if granule is not None and not self.has_position:
+            self.has_position = True
+            buffered = self.emitted
+            self.stream_pos0 = granule - samples - buffered
+
+        if prev_plan is not None and not self.prev_drained and self.prev is not None:
+            # clamp the previous frame's lapped tail to this block's room and
+            # to this frame's consumed span.  For spec-valid streams the tail
+            # always equals the next frame's overlap half, so this is a
+            # no-op; on malformed window-flag sequences it drops the spill
+            # the reference writes into (and re-laps from) scratch beyond the
+            # consumed range — garbage either way
+            room = (block_size if block_size is not None else total) - start
+            prev_plan.total = min(
+                prev_plan.total,
+                prev_plan.valid + max(0, min(room, valid - start)),
+            )
+
+        plan = FramePlan(True, A, start, valid, total, samples)
+        self.prev = (A, start, valid, total)
+        self.prev_drained = False
+        self.first = False
+        self.emitted = A + (valid - start)
+        return plan
+
+
+def _round_up(x, q):
+    return -(-x // q) * q
+
+
+@functools.lru_cache(maxsize=64)
+def _bulk_program(cfg):
+    """Build the fused synthesize + overlap-add program for one chunk shape.
+
+    ``cfg``: (C, L_pad, S_pad, buckets) with buckets a tuple of
+    (B_pad, n, coupling) per mode present.
+
+    The overlap-add is *gather*-formulated (XLA TPU scatters with duplicate
+    indices serialize; gathers do not): the host planner tiles the output
+    range into contiguous segments, each owned by one frame's consumed
+    window and lapped by at most the previous frame's tail
+    (``NVorbis/StreamDecoder.cs:532-541`` semantics), so
+
+        out[p] = rows[prim[f] + t] + (t < sec_len[f]) * rows[sec[f] + t]
+
+    with ``f = searchsorted(segE, p) - 1`` and ``t = p - segE[f]``.
+
+    Takes, per bucket: residue, ys, used, has_floor, window_index, xs,
+    windows, basis; then segE [S_pad+1], prim [S_pad] (flat element index of
+    the segment's first primary sample), sec [S_pad], sec_len [S_pad].
+    Output: raw (unclipped) samples ``[L_pad, C]``.
+    """
+    C, L_pad, S_pad, buckets = cfg
+    n_max = max(n for _, n, _ in buckets)
+
+    def fn(*flat):
+        i = 0
+        all_rows = []
+        for B, n, coupling in buckets:
+            (residue, ys, used, has_floor, window_index, xs, windows,
+             basis) = flat[i : i + 8]
+            i += 8
+            pcm = synth_core(
+                residue, ys, used, has_floor, window_index, xs, windows,
+                basis, coupling,
+            )  # [B, C, n]
+            pcm = pcm.transpose(0, 2, 1)  # [B, n, C]
+            if n < n_max:
+                pcm = jnp.pad(pcm, [(0, 0), (0, n_max - n), (0, 0)])
+            all_rows.append(pcm)
+        segE, prim, sec, sec_len = flat[i : i + 4]
+
+        rows = jnp.concatenate(all_rows, axis=0).reshape(-1, C)
+        nrows = rows.shape[0]
+
+        p = jax.lax.broadcasted_iota(jnp.int32, (L_pad,), 0)
+        f = jnp.clip(jnp.searchsorted(segE, p, side="right") - 1, 0, S_pad - 1)
+        t = p - jnp.take(segE, f)
+        i1 = jnp.clip(jnp.take(prim, f) + t, 0, nrows - 1)
+        a = jnp.take(rows, i1, axis=0)
+        live2 = t < jnp.take(sec_len, f)
+        i2 = jnp.clip(jnp.take(sec, f) + t, 0, nrows - 1)
+        b = jnp.where(live2[:, None], jnp.take(rows, i2, axis=0), 0.0)
+        return a + b
+
+    return jax.jit(fn)
+
+
+class BulkDecoder:
+    """Chunked whole-stream decoder over the native host plane."""
+
+    def __init__(self, decoder, native):
+        self._dec = decoder
+        self._native = native
+        self._synths = {}
+        self._last_plan = None
+
+    def _synth_for(self, mode):
+        s = self._synths.get(id(mode))
+        if s is None:
+            s = DeviceSynth(
+                self._dec._setup, mode, max_posts=self._dec._max_posts
+            )
+            self._synths[id(mode)] = s
+        return s
+
+    def run(self):
+        """Decode the remainder of the stream; returns interleaved float32
+        (unclipped) or None when the bulk path cannot be used."""
+        dec = self._dec
+        setup = dec._setup
+        planner = StreamPlanner(dec._current_position)
+        out_chunks = []
+
+        carry = None  # (rows dict, meta row, plan) of last good frame
+        provider_done = False
+        while not provider_done:
+            packets = []
+            raw = []
+            while len(packets) < CHUNK_FRAMES:
+                p = dec._packet_provider.get_next_packet()
+                if p is None:
+                    provider_done = True
+                    break
+                packets.append(p)
+                raw.append(bytes(p.data))
+            if not packets:
+                break
+
+            residue, ys, used, has_floor, meta = self._native.unpack(raw)
+            used = used.astype(bool)
+            has_floor = has_floor.astype(bool)
+
+            plans = []
+            for i, p in enumerate(packets):
+                ok = meta[i, 0] == 1
+                block_size = None
+                if ok:
+                    mode = setup.modes[meta[i, 1]]
+                    start, valid, total = mode.overlaps[meta[i, 2]]
+                    block_size = mode.block_size
+                else:
+                    start = valid = total = 0
+                plan = planner.add(
+                    bool(ok), start, valid, total,
+                    p.granule_position, p.is_end_of_stream, p.is_resync,
+                    block_size=block_size, prev_plan=self._last_plan,
+                )
+                if plan.ok:
+                    self._last_plan = plan
+                plans.append(plan)
+                # stats (StreamDecoder.cs:424,453 semantics)
+                total_bits = int(meta[i, 4])
+                if plan.ok:
+                    bits_read = int(meta[i, 3])
+                    dec._stats.add_packet(
+                        plan.samples, bits_read, total_bits - bits_read,
+                        p.container_overhead_bits,
+                    )
+                else:
+                    dec._stats.add_packet(
+                        0, 0, total_bits, p.container_overhead_bits
+                    )
+                p.done()
+
+            chunk_base = out_chunks[-1][1] if out_chunks else 0
+            finish = self._dispatch_chunk(
+                residue, ys, used, has_floor, meta, plans, carry, chunk_base,
+                planner.emitted,
+            )
+            # resolve the previous chunk's in-flight fetch now that this
+            # chunk is dispatched (device + link work overlap host unpack)
+            if len(out_chunks) > 0 and callable(out_chunks[-1][0]):
+                out_chunks[-1] = (out_chunks[-1][0](), out_chunks[-1][1])
+            out_chunks.append((finish, planner.emitted))
+
+            # carry the last good frame into the next chunk (its tail may
+            # still lap into samples emitted there)
+            last_good = None
+            for i in range(len(plans) - 1, -1, -1):
+                if plans[i].ok:
+                    last_good = i
+                    break
+            if last_good is not None:
+                carry = (
+                    {
+                        "residue": residue[last_good].copy(),
+                        "ys": ys[last_good].copy(),
+                        "used": used[last_good].copy(),
+                        "has_floor": has_floor[last_good].copy(),
+                        "meta": meta[last_good].copy(),
+                    },
+                    plans[last_good],
+                )
+
+        dec._eos_found = True
+        dec._prev_buf = None
+        dec._prev_start = dec._prev_end = dec._prev_stop = 0
+        dec._current_position = planner.stream_pos0 + planner.emitted
+        dec._has_position = planner.has_position
+
+        if not out_chunks:
+            return np.zeros(0, dtype=np.float32)
+        return np.concatenate(
+            [c[0]() if callable(c[0]) else c[0] for c in out_chunks]
+        )
+
+    def _dispatch_chunk(self, residue, ys, used, has_floor, meta, plans,
+                        carry, chunk_base, chunk_end):
+        """Synthesize + overlap-add one chunk on device; returns a callable
+        resolving to the interleaved samples of [chunk_base, chunk_end)."""
+        dec = self._dec
+        setup = dec._setup
+        C = setup.channels
+
+        L_real = max(0, chunk_end - chunk_base)
+        if L_real == 0:
+            return np.zeros(0, dtype=np.float32)
+        L_pad = _round_up(L_real, L_QUANTUM)
+
+        # bucket rows by mode
+        buckets = {}
+        for i, plan in enumerate(plans):
+            if plan.ok:
+                buckets.setdefault(int(meta[i, 1]), []).append(i)
+
+        # prepend the carry frame to its mode's bucket
+        carry_extra = {}
+        if carry is not None:
+            c_mode = int(carry[0]["meta"][1])
+            carry_extra[c_mode] = carry
+
+        cfg_buckets = []
+        args = []
+        row_of = {}          # packet index -> global padded row index
+        carry_row = None
+        n_max = 0
+        row_base = 0
+        mode_ids = sorted(set(list(buckets) + list(carry_extra)))
+        for mode_idx in mode_ids:
+            rows = buckets.get(mode_idx, [])
+            mode = setup.modes[mode_idx]
+            synth = self._synth_for(mode)
+            n2, n = synth.n2, synth.n
+            n_max = max(n_max, n)
+            extra = 1 if mode_idx in carry_extra else 0
+            B = len(rows) + extra
+            B_pad = synth._bucket(B)
+
+            res_b = np.zeros((B_pad, C, n2), dtype=np.float32)
+            ys_b = np.zeros((B_pad, C, ys.shape[2]), dtype=np.int32)
+            used_b = np.zeros((B_pad, C, used.shape[2]), dtype=bool)
+            hf_b = np.zeros((B_pad, C), dtype=bool)
+            widx_b = np.zeros(B_pad, dtype=np.int32)
+
+            j = 0
+            if extra:
+                crow, _ = carry_extra[mode_idx]
+                res_b[0] = crow["residue"][:, :n2]
+                ys_b[0] = crow["ys"]
+                used_b[0] = crow["used"]
+                hf_b[0] = crow["has_floor"]
+                widx_b[0] = crow["meta"][2]
+                carry_row = row_base
+                j = 1
+            for i in rows:
+                res_b[j] = residue[i, :, :n2]
+                ys_b[j] = ys[i]
+                used_b[j] = used[i]
+                hf_b[j] = has_floor[i]
+                widx_b[j] = meta[i, 2]
+                row_of[i] = row_base + j
+                j += 1
+
+            cfg_buckets.append((B_pad, n, synth.coupling_steps))
+            args.extend([
+                jnp.asarray(res_b), jnp.asarray(ys_b), jnp.asarray(used_b),
+                jnp.asarray(hf_b), jnp.asarray(widx_b),
+                synth._xs_dev, synth._windows_dev, synth._basis_dev,
+            ])
+            row_base += B_pad
+
+        # --- segment table: contiguous tiling of [0, L_real) --------------
+        # each good frame contributes its consumed span [start, valid) with
+        # the previous frame's tail as the lapped secondary; a failed packet
+        # drains the previous tail as its own segment
+        segs = []  # (pos, prim_flat, sec_flat, sec_len)
+        prev_plan = carry[1] if carry is not None else None
+        prev_row = carry_row
+        drained = prev_plan is None
+        for i, plan in enumerate(plans):
+            if not plan.ok:
+                if not drained and prev_plan is not None:
+                    s = (prev_plan.pos_base
+                         + (prev_plan.valid - prev_plan.start) - chunk_base)
+                    length = prev_plan.total - prev_plan.valid
+                    segs.append((s, length,
+                                 prev_row * n_max + prev_plan.valid, 0, 0))
+                    drained = True
+                continue
+            s = plan.pos_base - chunk_base
+            length = plan.valid - plan.start
+            sec_flat = 0
+            sec_len = 0
+            if not drained and prev_plan is not None:
+                sec_len = prev_plan.total - prev_plan.valid
+                sec_flat = prev_row * n_max + prev_plan.valid
+            segs.append((s, length, row_of[i] * n_max + plan.start,
+                         sec_flat, sec_len))
+            prev_plan = plan
+            prev_row = row_of[i]
+            drained = False
+
+        # clip lead-in segments (carry frame spans the chunk boundary)
+        clipped = []
+        for s, length, prim, sec, sec_len in segs:
+            if s < 0:
+                d = -s
+                s, length = 0, length - d
+                prim += d
+                sec += d
+                sec_len = max(0, sec_len - d)
+            if length > 0:
+                clipped.append((s, prim, sec, sec_len))
+        S_pad = _round_up(max(1, len(clipped)), 256)
+        segE = np.full(S_pad + 1, np.int32(L_pad + 1))
+        prim = np.zeros(S_pad, dtype=np.int32)
+        sec = np.zeros(S_pad, dtype=np.int32)
+        sec_len = np.zeros(S_pad, dtype=np.int32)
+        for k, (s, pr, se, sl) in enumerate(clipped):
+            segE[k] = s
+            prim[k] = pr
+            sec[k] = se
+            sec_len[k] = sl
+        # keep segE sorted for the padded tail
+        for k in range(len(clipped), S_pad + 1):
+            segE[k] = L_pad + 1 + k
+        args.extend([
+            jnp.asarray(segE), jnp.asarray(prim), jnp.asarray(sec),
+            jnp.asarray(sec_len),
+        ])
+        fn = _bulk_program((C, L_pad, S_pad, tuple(cfg_buckets)))
+        out = fn(*args)
+
+        # async chunked fetch: the device->host copy of this chunk overlaps
+        # the host unpack + dispatch of the next one
+        from nvorbis_tpu.utils.fetch import fetch_np
+
+        def finish():
+            # slice the L padding on host (device-side [:L_real] slicing
+            # would compile a program per distinct L_real)
+            return fetch_np(out)[:L_real].reshape(-1)
+
+        return finish

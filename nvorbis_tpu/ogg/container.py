@@ -64,10 +64,13 @@ class SeekablePageReader(_PhysicalReaderBase):
         self._stream_indexes = {}
 
     def _add_page(self, page) -> bool:
-        # Reference: PageReader.AddPage (125-158)
-        if page.packet_count == 0:
-            return False
+        # Reference: PageReader.AddPage (125-158).  Pages with zero packets
+        # (all-zero lacing — e.g. a bare end-of-stream marker page) still
+        # carry flags/granule and must reach the stream's index; only an
+        # *unknown* serial starting with an empty page is rejected.
         idx = self._stream_indexes.get(page.serial)
+        if page.packet_count == 0 and idx is None:
+            return False
         if idx is not None:
             idx.add_page(page)
             if page.flags & FLAG_END_OF_STREAM:
@@ -104,10 +107,11 @@ class ForwardOnlyPageReader(_PhysicalReaderBase):
         self._providers = {}
 
     def _add_page(self, page) -> bool:
-        # Reference: ForwardOnlyPageReader.AddPage (21-54)
+        # Reference: ForwardOnlyPageReader.AddPage (21-54).  A zero-packet
+        # page still carries its end-of-stream flag for a known serial.
         pp = self._providers.get(page.serial)
         if pp is not None:
-            if pp.add_page(page, page.is_resync):
+            if pp.add_page(page, page.is_resync) or page.packet_count == 0:
                 if page.flags & FLAG_END_OF_STREAM:
                     pp.set_end_of_stream()
                     del self._providers[page.serial]

@@ -53,6 +53,12 @@ class PacketProvider:
 
     def _next_packet(self, page_index, packet_index):
         rec = self._index.get_page(page_index)
+        while rec is not None and rec.packet_count == 0:
+            # empty page (zero-length lacing only) — carries flags/granule
+            # but no payload; skip to the next page
+            page_index += 1
+            packet_index = 0
+            rec = self._index.get_page(page_index)
         if rec is None:
             return None, page_index, packet_index
         return self._create_packet(
@@ -138,9 +144,33 @@ class PacketProvider:
             pkt.container_overhead_bits = page_overhead * 8
         if is_last_packet:
             pkt.granule_position = granule_pos
-            if self._index.has_all_pages and final_page == self._index.page_count - 1:
+            if self._is_stream_end(final_page):
                 pkt.is_end_of_stream = True
 
+        return self._finish_advance(
+            pkt, page_index, packet_index, final_page, packet_count, advance
+        )
+
+    def _is_stream_end(self, page_index: int) -> bool:
+        """True when no packet-bearing page exists after ``page_index``.
+
+        Unlike a bare has-all-pages check this looks one page ahead (skipping
+        empty marker pages), making the end-of-stream flag — and therefore
+        the final-granule end trim — independent of whether the page index
+        was pre-scanned (e.g. by a TotalSamples query)."""
+        j = page_index + 1
+        while True:
+            rec = self._index.get_page(j)
+            if rec is None:
+                return self._index.has_all_pages and (
+                    page_index < self._index.page_count
+                )
+            if rec.packet_count > 0:
+                return False
+            j += 1
+
+    def _finish_advance(self, pkt, page_index, packet_index, final_page,
+                        packet_count, advance):
         next_page = page_index
         next_packet = packet_index
         if advance:
@@ -385,6 +415,18 @@ class ForwardOnlyPacketProvider:
             self._peeked = self._get_packet()
         return self._peeked
 
+    def _probe_end(self) -> bool:
+        """Pull pages until one with data is queued or the stream ends;
+        True when the stream is over.  Makes the end-of-stream flag (and the
+        final-granule end trim) independent of page arrival timing — e.g. a
+        trailing empty end-of-stream marker page."""
+        for _ in range(8):  # bounded: marker pages are adjacent in practice
+            if self._page_queue or self._is_end_of_stream:
+                break
+            if not self._reader.read_next_page():
+                break
+        return self._is_end_of_stream and not self._page_queue
+
     def _read_next_page(self):
         while not self._page_queue:
             if self._is_end_of_stream or not self._reader.read_next_page():
@@ -444,9 +486,7 @@ class ForwardOnlyPacketProvider:
                     completing = len(self._cur_packets) - (1 if page.is_continued else 0)
                     if completing == 1:
                         granule_pos = page.granule_pos
-                        is_eos = bool(page.flags & FLAG_END_OF_STREAM) or (
-                            self._is_end_of_stream and not self._page_queue
-                        )
+                        is_eos = bool(page.flags & FLAG_END_OF_STREAM) or self._probe_end()
                     break
             data = b"".join(parts)
         else:
@@ -456,9 +496,7 @@ class ForwardOnlyPacketProvider:
                 completes_last = self._cur_packet_idx == len(self._cur_packets) - 1
             if completes_last:
                 granule_pos = self._cur_page.granule_pos
-                if (self._cur_page.flags & FLAG_END_OF_STREAM) or (
-                    self._is_end_of_stream and not self._page_queue
-                ):
+                if (self._cur_page.flags & FLAG_END_OF_STREAM) or self._probe_end():
                     is_eos = True
 
         pkt = Packet(data)

@@ -210,7 +210,15 @@ class VorbisReader:
         return 0
 
     def read_all(self, max_samples: int = None) -> np.ndarray:
-        """Decode the remainder of the stream; returns interleaved float32."""
+        """Decode the remainder of the stream; returns interleaved float32.
+
+        On a freshly opened jax-engine reader this takes the bulk path:
+        whole-stream synthesis + overlap-add on device, one fused program per
+        ~2048-frame chunk (see engine/bulk.py)."""
+        if max_samples is None:
+            pcm = self._stream_decoder.decode_all()
+            if pcm is not None:
+                return pcm
         channels = self.channels
         chunks = []
         chunk = np.zeros(65536 * channels, dtype=np.float32)

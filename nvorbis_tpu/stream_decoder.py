@@ -97,6 +97,7 @@ class StreamDecoder:
             raise InvalidStreamError(msg)
 
         self._current_position = 0
+        self._started = False
         self._reset_decoder()
         self._pipeline = self._make_pipeline(engine)
 
@@ -226,6 +227,7 @@ class StreamDecoder:
         if count == 0:
             return 0
 
+        self._started = True
         channels = self.channels
         idx = offset
         tgt = offset + count
@@ -251,6 +253,28 @@ class StreamDecoder:
         count_written = idx - offset
         self._current_position += count_written // channels
         return count_written
+
+    def decode_all(self):
+        """Bulk fast path: decode the whole stream with device-side
+        overlap-add (engine/bulk.py).  Only valid on a freshly opened
+        decoder; returns clipped interleaved float32, or None when the bulk
+        path does not apply (then use the read() loop)."""
+        if self._started or self._eos_found or self._packet_provider is None:
+            return None
+        native = getattr(self._pipeline, "_native", None)
+        if native is None:
+            return None
+        from nvorbis_tpu.engine.bulk import BulkDecoder
+
+        self._started = True
+        pcm = BulkDecoder(self, native).run()
+        if pcm is None:
+            return None
+        if self.clip_samples and pcm.size:
+            if np.any(np.abs(pcm) > CLIP_LIMIT):
+                self._has_clipped = True
+                pcm = np.clip(pcm, -CLIP_LIMIT, CLIP_LIMIT)
+        return pcm
 
     def read_samples(self, count: int = None, buffer=None, offset: int = 0) -> np.ndarray:
         """Convenience wrapper returning a fresh interleaved array."""
@@ -315,11 +339,15 @@ class StreamDecoder:
 
         pcm = res.pcm
         if self._prev_end > 0:
-            # overlap-add the previous packet's tail (StreamDecoder.cs:532-541)
-            tail = self._prev_stop - self._prev_end
+            # overlap-add the previous packet's tail (StreamDecoder.cs:532-541).
+            # On malformed window-flag transitions the tail can exceed the new
+            # block; the reference adds into fixed block1-size scratch where
+            # the spill lands beyond the consumed range and is discarded —
+            # clamping reproduces that
+            tail = min(self._prev_stop - self._prev_end, pcm.shape[1] - start)
             if tail > 0:
                 pcm[:, start : start + tail] += self._prev_buf[
-                    :, self._prev_end : self._prev_stop
+                    :, self._prev_end : self._prev_end + tail
                 ]
             self._prev_start = start
         elif self._prev_buf is None:
@@ -352,6 +380,7 @@ class StreamDecoder:
         if sample_position < 0:
             raise ValueError("sample_position must be >= 0")
 
+        self._started = True
         if sample_position == 0:
             self._packet_provider.seek_to(0, 0, self._get_packet_granules)
             roll_forward = 0

@@ -124,24 +124,17 @@ def _apply_inverse_coupling(residue, coupling_steps):
     return residue
 
 
-@functools.partial(jax.jit, static_argnames=("coupling", "has_f0"))
-def _synth_program(
-    residue, ys, used, has_floor, window_index, f0_curves, xs, windows, basis,
-    *, coupling, has_f0,
-):
-    """The fused batched synthesis program, stream-agnostic.
-
-    All per-stream tables (floor X positions, window set, IMDCT basis) are
-    *arguments*, so the jit cache is shared across every stream/reader with
-    the same shapes and coupling topology — opening a new file never
-    recompiles.  ``f0_curves`` carries host-rendered Floor0 gains for the
-    (rare) Floor0 channels; ``floor1`` channels are marked by ``xs < _XS_PAD``
-    in their first slot via ``has_f0`` handling below.
-    """
+def synth_core(residue, ys, used, has_floor, window_index, xs, windows, basis,
+               coupling, f0_curves=None, has_f0=False):
+    """The synthesis body (traceable, stream-agnostic): coupling -> floor
+    render -> floor multiply -> IMDCT matmul -> window.  Returns windowed
+    PCM ``[B, C, n]``."""
     n2 = residue.shape[-1]
     n = basis.shape[-1]
     residue = _apply_inverse_coupling(residue, coupling)
-    curve = _render_floor1_curves(xs, ys, used, has_floor, jnp.asarray(INVERSE_DB_TABLE), n2)
+    curve = _render_floor1_curves(
+        xs, ys, used, has_floor, jnp.asarray(INVERSE_DB_TABLE), n2
+    )
     if has_f0:
         # channels whose floor is Floor0 have no floor1 posts: xs[...,0] is
         # the pad value; substitute the host-rendered curve there
@@ -158,6 +151,24 @@ def _synth_program(
     ).reshape(residue.shape[0], residue.shape[1], n)
     win = jnp.take(windows, window_index, axis=0)  # [B, n]
     return pcm * win[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("coupling", "has_f0"))
+def _synth_program(
+    residue, ys, used, has_floor, window_index, f0_curves, xs, windows, basis,
+    *, coupling, has_f0,
+):
+    """Jitted wrapper of :func:`synth_core`.
+
+    All per-stream tables (floor X positions, window set, IMDCT basis) are
+    *arguments*, so the jit cache is shared across every stream/reader with
+    the same shapes and coupling topology — opening a new file never
+    recompiles.
+    """
+    return synth_core(
+        residue, ys, used, has_floor, window_index, xs, windows, basis,
+        coupling, f0_curves=f0_curves, has_f0=has_f0,
+    )
 
 
 class DeviceSynth:

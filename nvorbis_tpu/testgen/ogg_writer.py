@@ -1,0 +1,171 @@
+"""Ogg Vorbis stream (re)paginator — fixture/benchmark generation.
+
+Builds valid Ogg pages from raw Vorbis packets: lacing, sequence numbers,
+granule positions (computed with the same lapping math the decoder uses,
+``NVorbis/Mode.cs:102-117``), BOS/EOS flags, and the Ogg CRC.  Used to
+synthesize long-form and multi-stream fixtures from the small bundled ones
+(there is no Vorbis *encoder* here — audio content is repeated, which is
+bitstream-legal: audio packets only couple through the overlap-add window).
+"""
+
+import struct
+
+import numpy as np
+
+from nvorbis_tpu.ogg.crc import crc32
+
+
+def _build_page(packets_with_cont, serial, seq, granule, flags):
+    """packets_with_cont: list of (bytes, is_final_lacing_complete)."""
+    segs = bytearray()
+    body = bytearray()
+    for data, complete in packets_with_cont:
+        body += data
+        n = len(data)
+        while n >= 255:
+            segs.append(255)
+            n -= 255
+        if n > 0 or complete:
+            segs.append(n)
+        # when not complete and the length is an exact multiple of 255, the
+        # lacing ends on 255 and the packet continues on the next page
+    hdr = struct.pack(
+        "<4sBBqIIIB", b"OggS", 0, flags, granule, serial, seq, 0, len(segs)
+    )
+    page = bytearray(hdr + bytes(segs) + bytes(body))
+    crc = crc32(bytes(page))
+    page[22:26] = struct.pack("<I", crc)
+    return bytes(page)
+
+
+def paginate(packets, granules, serial=0x6E567462, first_seq=0,
+             max_packets_per_page=50, bos_pages=1):
+    """Paginate ``packets`` (list of bytes) into a single logical stream.
+
+    ``granules[i]`` is the absolute granule after packet i completes (use -1
+    to put no granule mid-stream; the page granule is taken from the last
+    packet completing in the page).  The first ``bos_pages`` packets are
+    emitted one per page with the BOS flag on the first (Vorbis requires the
+    id header alone on the first page).  Returns bytes of the whole stream.
+    """
+    out = bytearray()
+    seq = first_seq
+    i = 0
+    # header pages
+    for b in range(bos_pages):
+        flags = 0x02 if b == 0 else 0
+        out += _build_page([(packets[i], True)], serial, seq, -1, flags)
+        seq += 1
+        i += 1
+    while i < len(packets):
+        group = packets[i : i + max_packets_per_page]
+        gr = granules[i + len(group) - 1]
+        flags = 0x04 if i + len(group) == len(packets) else 0
+        out += _build_page(
+            [(p, True) for p in group], serial, seq, gr, flags
+        )
+        seq += 1
+        i += len(group)
+    return bytes(out)
+
+
+def packet_granules(overlaps):
+    """Granule after each audio packet given (start, valid, total) triples.
+
+    Matches the decoder's lapping accounting: the first packet contributes
+    no samples; each later packet contributes ``valid - start``
+    (``NVorbis/Mode.cs:172-176`` + StreamDecoder position math).
+    """
+    out = []
+    e = 0
+    for k, (start, valid, total) in enumerate(overlaps):
+        if k > 0:
+            e += valid - start
+        out.append(e)
+    return out
+
+
+def make_long_stream(src_path, repeats, out_path):
+    """Create a long single-stream Ogg by repeating a fixture's audio packets.
+
+    Returns (out_path, total_samples).
+    """
+    import nvorbis_tpu as nv
+
+    r = nv.VorbisReader(src_path, engine="oracle")
+    dec = r._stream_decoder
+    setup = dec._setup
+    prov = dec._packet_provider
+
+    header_pkts = []
+    audio_pkts = []
+    # walk every raw packet from the stream start (headers first)
+    prov._page_index = 0
+    prov._packet_index = 0
+    while True:
+        p = prov.get_next_packet()
+        if p is None:
+            break
+        data = bytes(p.data)
+        if len(header_pkts) < 3:
+            header_pkts.append(data)
+        else:
+            audio_pkts.append(data)
+        p.done()
+    r.dispose()
+
+    # keep decodable audio packets, noting each one's block flag
+    from nvorbis_tpu.ogg.packets import Packet
+    from nvorbis_tpu.codec.mode import calc_overlap
+
+    keep = []
+    flags_long = []
+    for data in audio_pkts:
+        pk = Packet(data)
+        if pk.read_bit():
+            continue
+        mode = setup.modes[pk.read_bits(setup.mode_field_bits)]
+        if mode.get_packet_info(pk) is None:
+            continue
+        keep.append(data)
+        flags_long.append(bool(mode.block_flag))
+
+    all_audio = [bytearray(p) for p in keep * repeats]
+    all_long = flags_long * repeats
+
+    # rewrite each long-block packet's prev/next window flags so block-size
+    # transitions stay consistent across the repeat seams (the flags are the
+    # two bits after the mode number; NVorbis/Mode.cs:130-141)
+    mfb = setup.mode_field_bits
+    b0, b1 = setup.block0_size, setup.block1_size
+
+    def set_bit(buf, bit, value):
+        byte, off = bit >> 3, bit & 7
+        if value:
+            buf[byte] |= 1 << off
+        else:
+            buf[byte] &= ~(1 << off)
+
+    all_overlaps = []
+    for i, (buf, is_long) in enumerate(zip(all_audio, all_long)):
+        if is_long:
+            prev_long = all_long[i - 1] if i > 0 else True
+            next_long = all_long[i + 1] if i + 1 < len(all_long) else True
+            set_bit(buf, 1 + mfb, prev_long)
+            set_bit(buf, 2 + mfb, next_long)
+            all_overlaps.append(
+                calc_overlap(b1 if prev_long else b0, b1, b1 if next_long else b0)
+            )
+        else:
+            all_overlaps.append((0, b0 // 2, b0))
+
+    all_audio = [bytes(b) for b in all_audio]
+    granules = packet_granules(all_overlaps)
+
+    # Vorbis: id header alone on page 1; comment+setup may share a page
+    packets = header_pkts + all_audio
+    pkt_granules = [-1] * len(header_pkts) + granules
+    blob = paginate(packets, pkt_granules, bos_pages=len(header_pkts))
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    return out_path, granules[-1]

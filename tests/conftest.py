@@ -7,6 +7,8 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # this jax build (axon plugin) ignores JAX_PLATFORMS; PLATFORM_NAME works
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# persistent compile cache makes repeat suite runs much faster
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
