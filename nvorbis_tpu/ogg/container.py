@@ -74,7 +74,7 @@ class SeekablePageReader(_PhysicalReaderBase):
         if idx is not None:
             idx.add_page(page)
             if page.flags & FLAG_END_OF_STREAM:
-                del self._stream_indexes[page.serial]
+                self._stream_indexes.pop(page.serial, None)
         else:
             idx = StreamPageIndex(self, page.serial)
             idx.add_page(page)
@@ -84,7 +84,9 @@ class SeekablePageReader(_PhysicalReaderBase):
             provider = PacketProvider(idx, page.serial)
             self._stream_indexes[page.serial] = idx
             if not self._new_stream_callback(provider):
-                del self._stream_indexes[page.serial]
+                # the callback itself may have read to this stream's EOS page
+                # (removing the entry) -- pop, don't del
+                self._stream_indexes.pop(page.serial, None)
                 return False
         return True
 

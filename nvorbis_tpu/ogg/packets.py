@@ -143,7 +143,7 @@ class PacketProvider:
         if is_first_packet:
             pkt.container_overhead_bits = page_overhead * 8
         if is_last_packet:
-            pkt.granule_position = granule_pos
+            pkt.granule_position = None if granule_pos == -1 else granule_pos
             if self._is_stream_end(final_page):
                 pkt.is_end_of_stream = True
 

@@ -1,0 +1,532 @@
+"""Multi-stream co-batched decoding — the throughput-saturation plane.
+
+Decode N Ogg Vorbis streams concurrently by batching their frames into
+shared device programs.  Streams are grouped by synthesis topology
+(channels, block sizes, per-mode coupling); within a group every chunk
+dispatches ONE fused XLA program that
+
+  * synthesizes all frames of all streams (per-frame floor X tables and
+    window tables are gathered from stacked per-(stream, mode) tables, so
+    one compiled program serves the whole group),
+  * overlap-adds each stream's frames into its own contiguous range of the
+    chunk output via the gather-formulated segment table (see
+    ``engine/bulk.py``),
+
+then fetches the chunk once.  Dispatch latency and device->host transfers
+amortize over every stream in the group — this is the 64-stream saturation
+path, and (with ``mesh=``) the multi-chip scale-out path: frame-axis inputs
+shard over the mesh's ``stream`` axis and XLA inserts the collectives.
+
+The reference has no equivalent (it is single-stream per call); this is the
+TPU-native replacement for "run N decoder instances".
+"""
+
+import functools
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nvorbis_tpu.codec.floor import Floor1
+from nvorbis_tpu.engine.bulk import StreamPlanner, _round_up, L_QUANTUM
+from nvorbis_tpu.synth.device import synth_spectra, _XS_PAD
+from nvorbis_tpu.synth.oracle import imdct_basis
+from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
+from nvorbis_tpu.utils.fetch import fetch_np
+
+CHUNK_FRAMES = 8192
+
+
+def _bucket_size(b: int) -> int:
+    """Coarse padded batch sizes to bound recompiles."""
+    if b <= 16:
+        return 16
+    p = 16
+    while p < b:
+        p <<= 2
+    return p
+
+
+@functools.lru_cache(maxsize=64)
+def _batch_program(cfg, mesh_key=None):
+    """cfg: (C, L_pad, S_pad, buckets) with buckets a tuple of
+    (B_pad, n, P, W, T, coupling).
+
+    Per bucket args: residue [B,C,n2], ys [B,C,P], used, has_floor [B,C],
+    widx [B], tid [B], xs_t [T,C,P], win_t [T,W,n], basis [n2,n];
+    then segE [S_pad+1], prim, sec, sec_len.
+    """
+    C, L_pad, S_pad, buckets = cfg
+    n_max = max(b[1] for b in buckets)
+
+    def fn(*flat):
+        i = 0
+        all_rows = []
+        for B, n, P, W, T, coupling in buckets:
+            (residue, ys, used, has_floor, widx, tid, xs_t, win_t,
+             basis) = flat[i : i + 9]
+            i += 9
+            xs = jnp.take(xs_t, tid, axis=0)  # [B, C, P]
+            pcm = synth_spectra(
+                residue, ys, used, has_floor, xs, basis, coupling
+            )  # [B, C, n]
+            win = win_t[tid, widx]  # [B, n]
+            pcm = pcm * win[:, None, :]
+            pcm = pcm.transpose(0, 2, 1)  # [B, n, C]
+            if n < n_max:
+                pcm = jnp.pad(pcm, [(0, 0), (0, n_max - n), (0, 0)])
+            all_rows.append(pcm)
+        segE, prim, sec, sec_len = flat[i : i + 4]
+
+        rows = jnp.concatenate(all_rows, axis=0).reshape(-1, C)
+        nrows = rows.shape[0]
+        p = jax.lax.broadcasted_iota(jnp.int32, (L_pad,), 0)
+        f = jnp.clip(jnp.searchsorted(segE, p, side="right") - 1, 0, S_pad - 1)
+        t = p - jnp.take(segE, f)
+        i1 = jnp.clip(jnp.take(prim, f) + t, 0, nrows - 1)
+        a = jnp.take(rows, i1, axis=0)
+        live2 = t < jnp.take(sec_len, f)
+        i2 = jnp.clip(jnp.take(sec, f) + t, 0, nrows - 1)
+        b = jnp.where(live2[:, None], jnp.take(rows, i2, axis=0), 0.0)
+        return a + b
+
+    if mesh_key is None:
+        return jax.jit(fn)
+
+    # mesh variant: shard frame-axis inputs over the 'stream' axis
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    mesh = _MESHES[mesh_key]
+    frame = NamedSharding(mesh, P_("stream"))
+    repl = NamedSharding(mesh, P_())
+    in_sh = []
+    for _ in buckets:
+        in_sh += [frame, frame, frame, frame, frame, frame, repl, repl, repl]
+    in_sh += [repl, repl, repl, repl]
+    return jax.jit(fn, in_shardings=tuple(in_sh), out_shardings=repl)
+
+
+_MESHES = {}
+
+
+class _StreamState:
+    """Per-stream decode state inside a batch."""
+
+    __slots__ = (
+        "reader", "decoder", "native", "planner", "plans_tail", "carry",
+        "chunk_base", "out", "done", "pcm", "table_ids", "last_plan",
+    )
+
+
+class BatchDecoder:
+    """Co-batched decoder over many sources.
+
+    ``decode_all()`` returns one interleaved float32 array per source, each
+    identical (to float rounding) to that source's single-stream decode.
+    """
+
+    def __init__(self, sources, mesh=None, clip_samples=True):
+        import nvorbis_tpu as nv
+        from nvorbis_tpu.native import NativeUnpacker
+
+        self.clip_samples = clip_samples
+        self._mesh_key = None
+        if mesh is not None:
+            self._mesh_key = ("mesh", id(mesh))
+            _MESHES[self._mesh_key] = mesh
+
+        self._streams = []
+        for src in sources:
+            st = _StreamState()
+            st.reader = nv.VorbisReader(src, engine="oracle")
+            st.decoder = st.reader._stream_decoder
+            st.native = NativeUnpacker(
+                st.decoder._setup, st.decoder._max_posts
+            )
+            st.planner = StreamPlanner()
+            st.carry = None
+            st.last_plan = None
+            st.chunk_base = 0
+            st.out = []
+            st.done = False
+            self._streams.append(st)
+
+    # -- grouping ------------------------------------------------------------
+
+    @staticmethod
+    def _group_key(setup):
+        modes_key = tuple(
+            (m.block_size,
+             tuple(zip(m.mapping.coupling_mag, m.mapping.coupling_ang)))
+            for m in setup.modes
+        )
+        return (setup.channels, setup.block0_size, setup.block1_size, modes_key)
+
+    def decode_all(self):
+        groups = defaultdict(list)
+        for st in self._streams:
+            groups[self._group_key(st.decoder._setup)].append(st)
+
+        for key, members in groups.items():
+            self._decode_group(members)
+
+        results = []
+        for st in self._streams:
+            pcm = (np.concatenate(st.out) if st.out
+                   else np.zeros(0, dtype=np.float32))
+            if self.clip_samples and pcm.size:
+                np.clip(pcm, -CLIP_LIMIT, CLIP_LIMIT, out=pcm)
+            results.append(pcm)
+            st.reader.dispose()
+        return results
+
+    # -- group decode ----------------------------------------------------------
+
+    def _decode_group(self, members):
+        setup0 = members[0].decoder._setup
+        C = setup0.channels
+        # stacked per-(stream, mode) tables, padded to group maxima
+        P = max(st.decoder._max_posts for st in members)
+        n_modes = len(setup0.modes)
+        block1 = setup0.block1_size
+
+        # table id = stream_index * n_modes + mode_index
+        xs_tables = {}   # block size -> np [T, C, P]
+        win_tables = {}  # block size -> np [T, W, n]
+        sizes = sorted({m.block_size for m in setup0.modes})
+        T = len(members) * n_modes
+        for n in sizes:
+            W = 4 if n == block1 and setup0.block0_size != block1 else None
+            # W differs per mode (long: 4, short: 1); use max over modes of
+            # this size
+            W = max(
+                len(m.windows) for m in setup0.modes if m.block_size == n
+            )
+            xs_tables[n] = np.full((T, C, P), _XS_PAD, dtype=np.int32)
+            win_tables[n] = np.zeros((T, W, n), dtype=np.float32)
+        for si, st in enumerate(members):
+            setup = st.decoder._setup
+            for mi, mode in enumerate(setup.modes):
+                t = si * n_modes + mi
+                n = mode.block_size
+                for c in range(C):
+                    fl = setup.floors[mode.mapping.channel_floor[c]]
+                    if isinstance(fl, Floor1):
+                        xs_tables[n][t, c, : fl.post_count] = fl.xs_sorted
+                win = np.stack(mode.windows).astype(np.float32)
+                win_tables[n][t, : win.shape[0]] = win
+
+        xs_dev = {n: jnp.asarray(v) for n, v in xs_tables.items()}
+        win_dev = {n: jnp.asarray(v) for n, v in win_tables.items()}
+        basis_dev = {n: jnp.asarray(imdct_basis(n, np.float32)) for n in sizes}
+
+        self._stream_slot = {id(st): i for i, st in enumerate(members)}
+        active = list(members)
+        pending = None  # finish callable of the in-flight chunk
+        while active:
+            chunk = self._collect_chunk(active, P, n_modes)
+            if chunk is None:
+                break
+            finish = self._dispatch(chunk, C, P, setup0,
+                                    xs_dev, win_dev, basis_dev)
+            if pending is not None:
+                pending()
+            pending = finish
+            active = [st for st in active if not st.done]
+        if pending is not None:
+            pending()
+
+        for st in members:
+            dec = st.decoder
+            dec._eos_found = True
+            dec._prev_buf = None
+            dec._started = True
+            dec._current_position = st.planner.stream_pos0 + st.planner.emitted
+
+    def _collect_chunk(self, active, P, n_modes):
+        """Pull up to CHUNK_FRAMES packets across active streams.
+
+        Returns per-frame arrays + per-stream segment info, or None when all
+        streams are exhausted.
+        """
+        frames = []  # (stream, row-local arrays index)
+        residues = []
+        yss = []
+        useds = []
+        hfs = []
+        metas = []
+        stream_of = []
+        plans = []
+        budget = CHUNK_FRAMES
+        got_any = False
+        for st in active:
+            if st.done or budget <= 0:
+                continue
+            dec = st.decoder
+            packets = []
+            raw = []
+            while len(packets) < budget:
+                p = dec._packet_provider.get_next_packet()
+                if p is None:
+                    st.done = True
+                    break
+                packets.append(p)
+                raw.append(bytes(p.data))
+            if not packets:
+                continue
+            got_any = True
+            budget -= len(packets)
+            residue, ys, used, has_floor, meta = st.native.unpack(raw)
+            setup = dec._setup
+            for i, p in enumerate(packets):
+                ok = meta[i, 0] == 1
+                block_size = None
+                if ok:
+                    mode = setup.modes[meta[i, 1]]
+                    start, valid, total = mode.overlaps[meta[i, 2]]
+                    block_size = mode.block_size
+                else:
+                    start = valid = total = 0
+                plan = st.planner.add(
+                    bool(ok), start, valid, total,
+                    p.granule_position, p.is_end_of_stream, p.is_resync,
+                    block_size=block_size, prev_plan=st.last_plan,
+                )
+                if plan.ok:
+                    st.last_plan = plan
+                total_bits = int(meta[i, 4])
+                if plan.ok:
+                    bits_read = int(meta[i, 3])
+                    dec._stats.add_packet(
+                        plan.samples, bits_read, total_bits - bits_read,
+                        p.container_overhead_bits,
+                    )
+                else:
+                    dec._stats.add_packet(
+                        0, 0, total_bits, p.container_overhead_bits
+                    )
+                p.done()
+                plans.append((st, plan, meta[i].copy()))
+            residues.append(residue)
+            yss.append(ys)
+            useds.append(used)
+            hfs.append(has_floor)
+            metas.append(meta)
+            stream_of.extend([st] * len(packets))
+        if not got_any:
+            return None
+        return {
+            "residue": np.concatenate(residues),
+            "ys": self._pad_cat(yss, P),
+            "used": self._pad_cat(useds, P),
+            "has_floor": np.concatenate(hfs),
+            "plans": plans,
+        }
+
+    @staticmethod
+    def _pad_cat(arrs, P):
+        out = []
+        for a in arrs:
+            if a.shape[2] < P:
+                a = np.pad(a, [(0, 0), (0, 0), (0, P - a.shape[2])])
+            out.append(a)
+        return np.concatenate(out)
+
+    def _dispatch(self, chunk, C, P, setup0, xs_dev, win_dev, basis_dev):
+        plans = chunk["plans"]
+        n_modes = len(setup0.modes)
+
+        # bucket frame rows by block size
+        buckets = defaultdict(list)  # n -> [(chunk_row, st, plan, meta)]
+        chunk_row_of = {}            # id(plan) -> chunk-local row
+        for row, (st, plan, meta) in enumerate(plans):
+            chunk_row_of[id(plan)] = row
+            if plan.ok:
+                n = setup0.modes[meta[1]].block_size
+                buckets[n].append((row, st, plan, meta))
+
+        # carry frames prepend their stream's first bucket by block size
+        carries = []
+        for st in {id(st): st for st, _, _ in plans}.values():
+            if st.carry is not None:
+                carries.append(st)
+                cn = setup0.modes[st.carry[0]["meta"][1]].block_size
+                buckets.setdefault(cn, [])  # bucket may hold only the carry
+
+        cfg_buckets = []
+        args = []
+        row_base = 0
+        global_row = {}   # (id(st), id(plan)) -> flat row index
+        n_max = max(buckets) if buckets else setup0.block1_size
+        carry_rows = {}
+
+        for n in sorted(buckets):
+            rows = buckets[n]
+            n2 = n // 2
+            # carries whose frame uses this block size
+            cs = [st for st in carries
+                  if setup0.modes[st.carry[0]["meta"][1]].block_size == n]
+            B = len(rows) + len(cs)
+            B_pad = _bucket_size(B)
+            res_b = np.zeros((B_pad, C, n2), dtype=np.float32)
+            ys_b = np.zeros((B_pad, C, P), dtype=np.int32)
+            used_b = np.zeros((B_pad, C, P), dtype=bool)
+            hf_b = np.zeros((B_pad, C), dtype=bool)
+            widx_b = np.zeros(B_pad, dtype=np.int32)
+            tid_b = np.zeros(B_pad, dtype=np.int32)
+
+            j = 0
+            for st in cs:
+                crow, cplan = st.carry
+                res_b[j] = crow["residue"][:, :n2]
+                ys_b[j, :, : crow["ys"].shape[1]] = crow["ys"]
+                used_b[j, :, : crow["used"].shape[1]] = crow["used"]
+                hf_b[j] = crow["has_floor"]
+                widx_b[j] = crow["meta"][2]
+                tid_b[j] = crow["tid"]
+                carry_rows[id(st)] = row_base + j
+                j += 1
+            for row, st, plan, meta in rows:
+                res_b[j] = chunk["residue"][row, :, :n2]
+                ys_b[j] = chunk["ys"][row]
+                used_b[j] = chunk["used"][row]
+                hf_b[j] = chunk["has_floor"][row]
+                widx_b[j] = meta[2]
+                si = self._stream_slot[id(st)]
+                tid_b[j] = si * n_modes + meta[1]
+                global_row[(id(st), id(plan))] = row_base + j
+                j += 1
+
+            W = win_dev[n].shape[1]
+            T = win_dev[n].shape[0]
+            cpl = tuple(zip(
+                setup0.modes[0].mapping.coupling_mag,
+                setup0.modes[0].mapping.coupling_ang,
+            ))
+            # group key guarantees every mode of this block size shares the
+            # coupling topology
+            for m in setup0.modes:
+                if m.block_size == n:
+                    cpl = tuple(zip(m.mapping.coupling_mag,
+                                    m.mapping.coupling_ang))
+                    break
+            cfg_buckets.append((B_pad, n, P, W, T, cpl))
+            args.extend([
+                jnp.asarray(res_b), jnp.asarray(ys_b), jnp.asarray(used_b),
+                jnp.asarray(hf_b), jnp.asarray(widx_b), jnp.asarray(tid_b),
+                xs_dev[n], win_dev[n], basis_dev[n],
+            ])
+            row_base += B_pad
+
+        # --- per-stream segment tables laid out consecutively -------------
+        segs = []
+        ranges = []  # (st, out_offset, length)
+        out_off = 0
+        by_stream = defaultdict(list)
+        for st, plan, meta in plans:
+            by_stream[id(st)].append((st, plan, meta))
+        for sid, items in by_stream.items():
+            st = items[0][0]
+            chunk_base = st.chunk_base
+            prev_plan = st.carry[1] if st.carry is not None else None
+            prev_row = carry_rows.get(sid)
+            drained = prev_plan is None
+            s_segs = []
+            for st_, plan, meta in items:
+                if not plan.ok:
+                    if not drained and prev_plan is not None:
+                        s = (prev_plan.pos_base
+                             + (prev_plan.valid - prev_plan.start) - chunk_base)
+                        length = prev_plan.total - prev_plan.valid
+                        s_segs.append((s, length,
+                                       prev_row * n_max + prev_plan.valid,
+                                       0, 0))
+                        drained = True
+                    continue
+                s = plan.pos_base - chunk_base
+                length = plan.valid - plan.start
+                sec_flat = sec_len = 0
+                if not drained and prev_plan is not None:
+                    sec_len = prev_plan.total - prev_plan.valid
+                    sec_flat = prev_row * n_max + prev_plan.valid
+                s_segs.append((
+                    s, length,
+                    global_row[(sid, id(plan))] * n_max + plan.start,
+                    sec_flat, sec_len,
+                ))
+                prev_plan = plan
+                prev_row = global_row[(sid, id(plan))]
+                drained = False
+
+            # clip lead-ins, shift into the shared output space
+            length_total = st.planner.emitted - chunk_base
+            for s, length, prim, sec, sl in s_segs:
+                if s < 0:
+                    d = -s
+                    s, length = 0, length - d
+                    prim += d
+                    sec += d
+                    sl = max(0, sl - d)
+                if length > 0:
+                    segs.append((out_off + s, prim, sec, sl))
+            if length_total > 0:
+                ranges.append((st, out_off, length_total))
+                out_off += length_total
+
+            # update carry for the next chunk
+            last_good = None
+            for st_, plan, meta in reversed(items):
+                if plan.ok:
+                    last_good = (plan, meta)
+                    break
+            if last_good is not None:
+                plan, meta = last_good
+                k = chunk_row_of[id(plan)]
+                st.carry = (
+                    {
+                        "residue": chunk["residue"][k].copy(),
+                        "ys": chunk["ys"][k].copy(),
+                        "used": chunk["used"][k].copy(),
+                        "has_floor": chunk["has_floor"][k].copy(),
+                        "meta": meta,
+                        "tid": self._stream_slot[sid] * n_modes + int(meta[1]),
+                    },
+                    plan,
+                )
+            st.chunk_base = st.planner.emitted
+
+        L_real = out_off
+        if L_real == 0:
+            return lambda: None
+        L_pad = _round_up(L_real, L_QUANTUM)
+        S_pad = _round_up(max(1, len(segs)), 256)
+        segE = np.zeros(S_pad + 1, dtype=np.int32)
+        prim = np.zeros(S_pad, dtype=np.int32)
+        sec = np.zeros(S_pad, dtype=np.int32)
+        sec_len = np.zeros(S_pad, dtype=np.int32)
+        for k2, (s, pr, se, sl) in enumerate(segs):
+            segE[k2] = s
+            prim[k2] = pr
+            sec[k2] = se
+            sec_len[k2] = sl
+        for k2 in range(len(segs), S_pad + 1):
+            segE[k2] = L_pad + 1 + k2
+        args.extend([
+            jnp.asarray(segE), jnp.asarray(prim), jnp.asarray(sec),
+            jnp.asarray(sec_len),
+        ])
+
+        fn = _batch_program(
+            (C, L_pad, S_pad, tuple(cfg_buckets)), self._mesh_key
+        )
+        out = fn(*args)
+
+        def finish():
+            host = fetch_np(out)
+            for st, off, length in ranges:
+                st.out.append(host[off : off + length].reshape(-1))
+
+        return finish
+
+    _stream_slot = None  # set in decode_all per group

@@ -124,11 +124,10 @@ def _apply_inverse_coupling(residue, coupling_steps):
     return residue
 
 
-def synth_core(residue, ys, used, has_floor, window_index, xs, windows, basis,
-               coupling, f0_curves=None, has_f0=False):
-    """The synthesis body (traceable, stream-agnostic): coupling -> floor
-    render -> floor multiply -> IMDCT matmul -> window.  Returns windowed
-    PCM ``[B, C, n]``."""
+def synth_spectra(residue, ys, used, has_floor, xs, basis, coupling,
+                  f0_curves=None, has_f0=False):
+    """Un-windowed synthesis body: coupling -> floor render -> floor
+    multiply -> IMDCT matmul.  Returns PCM ``[B, C, n]``."""
     n2 = residue.shape[-1]
     n = basis.shape[-1]
     residue = _apply_inverse_coupling(residue, coupling)
@@ -143,12 +142,23 @@ def synth_core(residue, ys, used, has_floor, window_index, xs, windows, basis,
             floor1_mask = floor1_mask[None]
         curve = jnp.where(floor1_mask[:, :, None], curve, f0_curves)
     spectrum = residue * curve
-    pcm = jnp.dot(
+    return jnp.dot(
         spectrum.reshape(-1, n2),
         basis,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     ).reshape(residue.shape[0], residue.shape[1], n)
+
+
+def synth_core(residue, ys, used, has_floor, window_index, xs, windows, basis,
+               coupling, f0_curves=None, has_f0=False):
+    """The synthesis body (traceable, stream-agnostic): coupling -> floor
+    render -> floor multiply -> IMDCT matmul -> window.  Returns windowed
+    PCM ``[B, C, n]``."""
+    pcm = synth_spectra(
+        residue, ys, used, has_floor, xs, basis, coupling,
+        f0_curves=f0_curves, has_f0=has_f0,
+    )
     win = jnp.take(windows, window_index, axis=0)  # [B, n]
     return pcm * win[:, None, :]
 

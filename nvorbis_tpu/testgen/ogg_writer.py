@@ -51,10 +51,10 @@ def paginate(packets, granules, serial=0x6E567462, first_seq=0,
     out = bytearray()
     seq = first_seq
     i = 0
-    # header pages
+    # header pages (granule 0, like real encoders)
     for b in range(bos_pages):
         flags = 0x02 if b == 0 else 0
-        out += _build_page([(packets[i], True)], serial, seq, -1, flags)
+        out += _build_page([(packets[i], True)], serial, seq, 0, flags)
         seq += 1
         i += 1
     while i < len(packets):
@@ -85,11 +85,36 @@ def packet_granules(overlaps):
     return out
 
 
-def make_long_stream(src_path, repeats, out_path):
+def make_chained_stream(src_path, links, out_path, repeats=1):
+    """Create a chained (concatenated logical streams) Ogg file.
+
+    Each link is a full logical stream with its own serial — the reference's
+    multi-stream surface (NVorbis/VorbisReader.cs:280-305 FindNextStream /
+    SwitchStreams) consumes these.  Returns (out_path, samples_per_link).
+    """
+    blobs = []
+    samples = None
+    for k in range(links):
+        blob, samples = _repaginate(src_path, repeats, serial=0x1000 + k)
+        blobs.append(blob)
+    with open(out_path, "wb") as f:
+        f.write(b"".join(blobs))
+    return out_path, samples
+
+
+def make_long_stream(src_path, repeats, out_path, serial=0x6E567462):
     """Create a long single-stream Ogg by repeating a fixture's audio packets.
 
     Returns (out_path, total_samples).
     """
+    blob, total = _repaginate(src_path, repeats, serial)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    return out_path, total
+
+
+def _repaginate(src_path, repeats, serial):
+    """Rebuild one logical stream; returns (blob, total_samples)."""
     import nvorbis_tpu as nv
 
     r = nv.VorbisReader(src_path, engine="oracle")
@@ -165,7 +190,7 @@ def make_long_stream(src_path, repeats, out_path):
     # Vorbis: id header alone on page 1; comment+setup may share a page
     packets = header_pkts + all_audio
     pkt_granules = [-1] * len(header_pkts) + granules
-    blob = paginate(packets, pkt_granules, bos_pages=len(header_pkts))
-    with open(out_path, "wb") as f:
-        f.write(blob)
-    return out_path, granules[-1]
+    blob = paginate(
+        packets, pkt_granules, serial=serial, bos_pages=len(header_pkts)
+    )
+    return blob, granules[-1]

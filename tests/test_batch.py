@@ -1,0 +1,64 @@
+"""Co-batched multi-stream decoding (parallel/batch.py) — results must match
+per-stream decodes, including across chunk boundaries and on a device mesh."""
+
+import numpy as np
+import pytest
+
+import nvorbis_tpu as nv
+from nvorbis_tpu.parallel.batch import BatchDecoder
+
+from conftest import fixture_path
+
+
+def _single(path):
+    return nv.VorbisReader(path, engine="jax").read_all()
+
+
+def test_batch_mixed_streams_match_single():
+    paths = [
+        fixture_path("3test.ogg"),
+        fixture_path("1test.ogg"),
+        fixture_path("issue6test.ogg"),
+        fixture_path("3test.ogg"),
+        fixture_path("2test.ogg"),
+    ]
+    outs = BatchDecoder(paths).decode_all()
+    for p, o in zip(paths, outs):
+        ref = _single(p)
+        assert len(o) == len(ref)
+        np.testing.assert_allclose(o, ref, atol=2e-7, rtol=0)
+
+
+def test_batch_multi_chunk_stream(tmp_path):
+    from nvorbis_tpu.testgen.ogg_writer import make_long_stream
+
+    out = str(tmp_path / "long.ogg")
+    make_long_stream(fixture_path("3test.ogg"), 32, out)  # > CHUNK_FRAMES
+    ref = _single(out)
+    (o,) = BatchDecoder([out]).decode_all()
+    assert len(o) == len(ref)
+    np.testing.assert_allclose(o, ref, atol=2e-7, rtol=0)
+
+
+def test_batch_on_device_mesh():
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = Mesh(np.array(devices[:8]), ("stream",))
+    paths = [fixture_path("3test.ogg"), fixture_path("issue6test.ogg")]
+    outs = BatchDecoder(paths, mesh=mesh).decode_all()
+    for p, o in zip(paths, outs):
+        ref = _single(p)
+        assert len(o) == len(ref)
+        np.testing.assert_allclose(o, ref, atol=2e-7, rtol=0)
+
+
+def test_batch_updates_stream_stats_and_position():
+    bd = BatchDecoder([fixture_path("3test.ogg")])
+    (o,) = bd.decode_all()
+    st = bd._streams[0]
+    assert st.decoder.sample_position == len(o) // 2
+    assert st.decoder._stats.packet_count > 0
