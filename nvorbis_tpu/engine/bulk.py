@@ -160,9 +160,9 @@ def _bulk_program(cfg):
     with ``f = searchsorted(segE, p) - 1`` and ``t = p - segE[f]``.
 
     Takes, per bucket: residue, ys, used, has_floor, window_index, xs,
-    windows, basis; then segE [S_pad+1], prim [S_pad] (flat element index of
-    the segment's first primary sample), sec [S_pad], sec_len [S_pad].
-    Output: raw (unclipped) samples ``[L_pad, C]``.
+    windows, basis, sl; then segE [S_pad+1], prim [S_pad] (flat element
+    index of the segment's first primary sample), sec [S_pad], sec_len
+    [S_pad].  Output: raw (unclipped) samples ``[L_pad, C]``.
     """
     C, L_pad, S_pad, buckets = cfg
     n_max = max(n for _, n, _ in buckets)
@@ -172,11 +172,11 @@ def _bulk_program(cfg):
         all_rows = []
         for B, n, coupling in buckets:
             (residue, ys, used, has_floor, window_index, xs, windows,
-             basis) = flat[i : i + 8]
-            i += 8
+             basis, sl) = flat[i : i + 9]
+            i += 9
             pcm = synth_core(
                 residue, ys, used, has_floor, window_index, xs, windows,
-                basis, coupling,
+                basis, coupling, sl=sl,
             )  # [B, C, n]
             pcm = pcm.transpose(0, 2, 1)  # [B, n, C]
             if n < n_max:
@@ -391,6 +391,7 @@ class BulkDecoder:
                 jnp.asarray(res_b), jnp.asarray(ys_b), jnp.asarray(used_b),
                 jnp.asarray(hf_b), jnp.asarray(widx_b),
                 synth._xs_dev, synth._windows_dev, synth._basis_dev,
+                synth._sl_dev,
             ])
             row_base += B_pad
 

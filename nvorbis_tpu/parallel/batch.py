@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from nvorbis_tpu.codec.floor import Floor1
 from nvorbis_tpu.engine.bulk import StreamPlanner, _round_up, L_QUANTUM
-from nvorbis_tpu.synth.device import synth_spectra, _XS_PAD
+from nvorbis_tpu.synth.device import synth_spectra, floor1_bin_map, _XS_PAD
 from nvorbis_tpu.synth.oracle import imdct_basis
 from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
 from nvorbis_tpu.utils.fetch import fetch_np
@@ -54,8 +54,8 @@ def _batch_program(cfg, mesh_key=None):
     (B_pad, n, P, W, T, coupling).
 
     Per bucket args: residue [B,C,n2], ys [B,C,P], used, has_floor [B,C],
-    widx [B], tid [B], xs_t [T,C,P], win_t [T,W,n], basis [n2,n];
-    then segE [S_pad+1], prim, sec, sec_len.
+    widx [B], tid [B], xs_t [T,C,P], win_t [T,W,n], basis [n2,n],
+    sl_t [T,C,n2]; then segE [S_pad+1], prim, sec, sec_len.
     """
     C, L_pad, S_pad, buckets = cfg
     n_max = max(b[1] for b in buckets)
@@ -65,11 +65,12 @@ def _batch_program(cfg, mesh_key=None):
         all_rows = []
         for B, n, P, W, T, coupling in buckets:
             (residue, ys, used, has_floor, widx, tid, xs_t, win_t,
-             basis) = flat[i : i + 9]
-            i += 9
+             basis, sl_t) = flat[i : i + 10]
+            i += 10
             xs = jnp.take(xs_t, tid, axis=0)  # [B, C, P]
+            sl = jnp.take(sl_t, tid, axis=0)  # [B, C, n2]
             pcm = synth_spectra(
-                residue, ys, used, has_floor, xs, basis, coupling
+                residue, ys, used, has_floor, xs, basis, coupling, sl=sl
             )  # [B, C, n]
             win = win_t[tid, widx]  # [B, n]
             pcm = pcm * win[:, None, :]
@@ -102,7 +103,8 @@ def _batch_program(cfg, mesh_key=None):
     repl = NamedSharding(mesh, P_())
     in_sh = []
     for _ in buckets:
-        in_sh += [frame, frame, frame, frame, frame, frame, repl, repl, repl]
+        in_sh += [frame, frame, frame, frame, frame, frame,
+                  repl, repl, repl, repl]
     in_sh += [repl, repl, repl, repl]
     return jax.jit(fn, in_shardings=tuple(in_sh), out_shardings=repl)
 
@@ -218,6 +220,10 @@ class BatchDecoder:
                 win_tables[n][t, : win.shape[0]] = win
 
         xs_dev = {n: jnp.asarray(v) for n, v in xs_tables.items()}
+        sl_dev = {
+            n: jnp.asarray(floor1_bin_map(v, n // 2))
+            for n, v in xs_tables.items()
+        }
         win_dev = {n: jnp.asarray(v) for n, v in win_tables.items()}
         basis_dev = {n: jnp.asarray(imdct_basis(n, np.float32)) for n in sizes}
 
@@ -229,7 +235,7 @@ class BatchDecoder:
             if chunk is None:
                 break
             finish = self._dispatch(chunk, C, P, setup0,
-                                    xs_dev, win_dev, basis_dev)
+                                    xs_dev, win_dev, basis_dev, sl_dev)
             if pending is not None:
                 pending()
             pending = finish
@@ -333,7 +339,8 @@ class BatchDecoder:
             out.append(a)
         return np.concatenate(out)
 
-    def _dispatch(self, chunk, C, P, setup0, xs_dev, win_dev, basis_dev):
+    def _dispatch(self, chunk, C, P, setup0, xs_dev, win_dev, basis_dev,
+                  sl_dev):
         plans = chunk["plans"]
         n_modes = len(setup0.modes)
 
@@ -415,7 +422,7 @@ class BatchDecoder:
             args.extend([
                 jnp.asarray(res_b), jnp.asarray(ys_b), jnp.asarray(used_b),
                 jnp.asarray(hf_b), jnp.asarray(widx_b), jnp.asarray(tid_b),
-                xs_dev[n], win_dev[n], basis_dev[n],
+                xs_dev[n], win_dev[n], basis_dev[n], sl_dev[n],
             ])
             row_base += B_pad
 

@@ -35,14 +35,34 @@ from nvorbis_tpu.synth.oracle import imdct_basis
 _XS_PAD = np.int32(1 << 24)
 
 
-def _render_floor1_curves(xs, ys, used, has_floor, idb_table, n2):
+def floor1_bin_map(xs_sorted, n2):
+    """Host-side static bin->post map for the fast floor render path.
+
+    ``xs_sorted``: numpy int array ``[..., P]`` of sorted post X positions
+    (pads ``_XS_PAD`` at the end).  Returns int32 ``[..., n2]``: for each
+    spectral bin, the index of the last post (used or not) with ``x <= bin``,
+    or -1.  Post X positions come from the setup header
+    (NVorbis/Floor1.cs:92-132), so this map is a per-stream constant.
+    """
+    xs_sorted = np.asarray(xs_sorted)
+    bins = np.arange(n2)
+    out = np.empty(xs_sorted.shape[:-1] + (n2,), np.int32)
+    for idx in np.ndindex(xs_sorted.shape[:-1]):
+        out[idx] = np.searchsorted(xs_sorted[idx], bins, side="right") - 1
+    return out
+
+
+def _render_floor1_curves(xs, ys, used, has_floor, idb_table, n2, sl=None):
     """Vectorized floor1 polyline render -> linear gains ``[B, C, n2]``.
 
     ``xs``: int32 sorted post X positions (padded with ``_XS_PAD``) — either
     ``[C, P]`` (static per-stream tables, the single-stream path) or
     ``[B, C, P]`` (per-frame tables, the stream-agnostic sharded path);
     ``ys``/``used``: ``[B, C, P]`` per-frame post values and used flags in
-    the same sorted order; ``has_floor``: ``[B, C]``.
+    the same sorted order; ``has_floor``: ``[B, C]``; ``sl``: optional
+    :func:`floor1_bin_map` of ``xs`` (``[C, n2]`` or ``[B, C, n2]``) — with
+    it, neighbor search is a P-length cumulative scan plus two cheap batched
+    gathers instead of an O(P*n2) compare-reduce.
 
     Closed form of ``Floor1.RenderLineMulti`` (NVorbis/Floor1.cs:316-341):
     for bin x between enclosing used posts (lx,ly)-(hx,hy),
@@ -56,40 +76,61 @@ def _render_floor1_curves(xs, ys, used, has_floor, idb_table, n2):
     else:
         xs = jnp.broadcast_to(xs, (B, C, P))
 
-    # Neighbor search is O(n2) per channel (not O(P*n2)): scatter each used
-    # post's index at its bin position, then a cumulative max gives, per bin,
-    # the largest used post with xs <= bin; a reverse cumulative min (shifted
-    # by one) gives the smallest used post with xs > bin.  Posts at/after n2
-    # cannot be scattered but can still be right neighbors (the reference
-    # clips X at n2 mid-segment) — folded in via a per-channel fallback.
-    p_idx = jax.lax.broadcasted_iota(jnp.int32, (B, C, P), 2)
-    in_range = used & (xs < n2)
-    xs_cl = jnp.clip(xs, 0, n2 - 1)
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (B, C, P), 0)
-    c_idx = jax.lax.broadcasted_iota(jnp.int32, (B, C, P), 1)
+    # Each post packs into a single ordered key ``(x << 9) | y`` (post X
+    # fits 15 bits, Y fits 8 — rangebits <= 15 and range <= 256 per the
+    # setup grammar), so per bin:
+    #   left  neighbor = max key over used posts with x <= bin
+    #   right neighbor = min key over used posts with x >  bin
+    # and (x, y) unpack by shift/mask.  Posts at/after n2 still participate
+    # as right neighbors (the reference clips X at n2 mid-segment, not the
+    # post list).  Padded slots (xs == _XS_PAD) are masked via ``used``.
+    _NO_RIGHT = jnp.int32(1 << 30)
+    raw_keys = (jnp.clip(xs, 0, (1 << 15) - 1) << 9) | jnp.clip(ys, 0, 255)
+    lkeys = jnp.where(used, raw_keys, -1)
+    rkeys = jnp.where(used, raw_keys, _NO_RIGHT)
 
-    left_scat = jnp.full((B, C, n2), -1, dtype=jnp.int32)
-    left_scat = left_scat.at[b_idx, c_idx, xs_cl].max(jnp.where(in_range, p_idx, -1))
-    left = jax.lax.cummax(left_scat, axis=2)  # [B, C, n2]
+    if sl is not None:
+        # Fast path: posts are sorted by x, so "largest used key with
+        # x <= bin" = cummax at the static map position, and "smallest used
+        # key with x > bin" = suffix cummin one past it.  Scans are over
+        # P (tiny); the per-bin work is two gathers from P-entry tables.
+        lkey_p = jax.lax.cummax(lkeys, axis=2)                     # [B, C, P]
+        rkey_p = jax.lax.cummin(rkeys[:, :, ::-1], axis=2)[:, :, ::-1]
+        rkey_p = jnp.concatenate(
+            [rkey_p, jnp.full((B, C, 1), _NO_RIGHT, dtype=jnp.int32)], axis=2
+        )
+        if sl.ndim == 2:
+            sl = jnp.broadcast_to(sl[None], (B, C, n2))
+        lkey = jnp.where(
+            sl >= 0,
+            jnp.take_along_axis(lkey_p, jnp.clip(sl, 0, P - 1), axis=2),
+            jnp.int32(-1),
+        )
+        rkey = jnp.take_along_axis(rkey_p, jnp.minimum(sl + 1, P), axis=2)
+    else:
+        # Generic path (per-frame dynamic xs): compare-and-reduce over the
+        # post axis, accumulated with a loop to bound live memory.
+        bins = jax.lax.broadcasted_iota(jnp.int32, (B, C, n2), 2)
 
-    right_scat = jnp.full((B, C, n2), P, dtype=jnp.int32)
-    right_scat = right_scat.at[b_idx, c_idx, xs_cl].min(jnp.where(in_range, p_idx, P))
-    rc = jax.lax.cummin(right_scat[:, :, ::-1], axis=2)[:, :, ::-1]
-    # right[x] = min over bins > x, plus used posts at/after n2
-    tail_fallback = jnp.min(jnp.where(used & (xs >= n2), p_idx, P), axis=2)
-    right = jnp.concatenate(
-        [rc[:, :, 1:], jnp.full((B, C, 1), P, dtype=jnp.int32)], axis=2
-    )
-    right = jnp.minimum(right, tail_fallback[:, :, None])
+        def body(p, carry):
+            lk, rk = carry
+            xp = jax.lax.dynamic_slice_in_dim(xs, p, 1, axis=2)
+            lp = jax.lax.dynamic_slice_in_dim(lkeys, p, 1, axis=2)
+            rp = jax.lax.dynamic_slice_in_dim(rkeys, p, 1, axis=2)
+            lk = jnp.maximum(lk, jnp.where(xp <= bins, lp, -1))
+            rk = jnp.minimum(rk, jnp.where(xp > bins, rp, _NO_RIGHT))
+            return lk, rk
 
-    left_safe = jnp.clip(left, 0, P - 1)
-    right_safe = jnp.clip(right, 0, P - 1)
-    has_right = right < P
+        lkey0 = jnp.full((B, C, n2), -1, dtype=jnp.int32)
+        rkey0 = jnp.full((B, C, n2), _NO_RIGHT, dtype=jnp.int32)
+        lkey, rkey = jax.lax.fori_loop(0, P, body, (lkey0, rkey0))
 
-    lx = jnp.take_along_axis(xs, left_safe, axis=2)
-    ly = jnp.take_along_axis(ys, left_safe, axis=2)
-    hx = jnp.take_along_axis(xs, right_safe, axis=2)
-    hy = jnp.take_along_axis(ys, right_safe, axis=2)
+    has_right = rkey < _NO_RIGHT
+
+    lx = lkey >> 9
+    ly = lkey & 511
+    hx = rkey >> 9
+    hy = rkey & 511
 
     dy = hy - ly
     adx = jnp.minimum(hx, n2) - lx
@@ -125,14 +166,14 @@ def _apply_inverse_coupling(residue, coupling_steps):
 
 
 def synth_spectra(residue, ys, used, has_floor, xs, basis, coupling,
-                  f0_curves=None, has_f0=False):
+                  f0_curves=None, has_f0=False, sl=None):
     """Un-windowed synthesis body: coupling -> floor render -> floor
     multiply -> IMDCT matmul.  Returns PCM ``[B, C, n]``."""
     n2 = residue.shape[-1]
     n = basis.shape[-1]
     residue = _apply_inverse_coupling(residue, coupling)
     curve = _render_floor1_curves(
-        xs, ys, used, has_floor, jnp.asarray(INVERSE_DB_TABLE), n2
+        xs, ys, used, has_floor, jnp.asarray(INVERSE_DB_TABLE), n2, sl=sl
     )
     if has_f0:
         # channels whose floor is Floor0 have no floor1 posts: xs[...,0] is
@@ -151,13 +192,13 @@ def synth_spectra(residue, ys, used, has_floor, xs, basis, coupling,
 
 
 def synth_core(residue, ys, used, has_floor, window_index, xs, windows, basis,
-               coupling, f0_curves=None, has_f0=False):
+               coupling, f0_curves=None, has_f0=False, sl=None):
     """The synthesis body (traceable, stream-agnostic): coupling -> floor
     render -> floor multiply -> IMDCT matmul -> window.  Returns windowed
     PCM ``[B, C, n]``."""
     pcm = synth_spectra(
         residue, ys, used, has_floor, xs, basis, coupling,
-        f0_curves=f0_curves, has_f0=has_f0,
+        f0_curves=f0_curves, has_f0=has_f0, sl=sl,
     )
     win = jnp.take(windows, window_index, axis=0)  # [B, n]
     return pcm * win[:, None, :]
@@ -166,18 +207,18 @@ def synth_core(residue, ys, used, has_floor, window_index, xs, windows, basis,
 @functools.partial(jax.jit, static_argnames=("coupling", "has_f0"))
 def _synth_program(
     residue, ys, used, has_floor, window_index, f0_curves, xs, windows, basis,
-    *, coupling, has_f0,
+    sl, *, coupling, has_f0,
 ):
     """Jitted wrapper of :func:`synth_core`.
 
-    All per-stream tables (floor X positions, window set, IMDCT basis) are
-    *arguments*, so the jit cache is shared across every stream/reader with
-    the same shapes and coupling topology — opening a new file never
-    recompiles.
+    All per-stream tables (floor X positions, bin map, window set, IMDCT
+    basis) are *arguments*, so the jit cache is shared across every
+    stream/reader with the same shapes and coupling topology — opening a new
+    file never recompiles.
     """
     return synth_core(
         residue, ys, used, has_floor, window_index, xs, windows, basis,
-        coupling, f0_curves=f0_curves, has_f0=has_f0,
+        coupling, f0_curves=f0_curves, has_f0=has_f0, sl=sl,
     )
 
 
@@ -215,10 +256,12 @@ class DeviceSynth:
                 xs[c, : f.post_count] = f.xs_sorted
         self._xs = xs
 
+        self._sl = floor1_bin_map(xs, self.n2)  # [C, n2]
         self._windows = np.stack(mode.windows).astype(np.float32)  # [W, n]
         self._basis = imdct_basis(self.n, np.float32)  # [n2, n]
         # device-resident constants, transferred once per stream
         self._xs_dev = jnp.asarray(self._xs)
+        self._sl_dev = jnp.asarray(self._sl)
         self._windows_dev = jnp.asarray(self._windows)
         self._basis_dev = jnp.asarray(self._basis)
 
@@ -228,13 +271,14 @@ class DeviceSynth:
         """Pure batched synthesis closure over this stream's tables
         (for the driver's single-chip compile check)."""
         xs, windows, basis = self._xs_dev, self._windows_dev, self._basis_dev
+        sl = self._sl_dev
         coupling = self.coupling_steps
         has_f0 = self.has_floor0
 
         def synth(residue, ys, used, has_floor, window_index, f0_curves):
             return _synth_program(
                 residue, ys, used, has_floor, window_index, f0_curves,
-                xs, windows, basis, coupling=coupling, has_f0=has_f0,
+                xs, windows, basis, sl, coupling=coupling, has_f0=has_f0,
             )
 
         return synth
@@ -286,6 +330,7 @@ class DeviceSynth:
             self._xs_dev,
             self._windows_dev,
             self._basis_dev,
+            self._sl_dev,
             coupling=self.coupling_steps,
             has_f0=self.has_floor0,
         )

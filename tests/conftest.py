@@ -5,7 +5,6 @@ JAX fake-backend trick)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# this jax build (axon plugin) ignores JAX_PLATFORMS; PLATFORM_NAME works
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 # persistent compile cache makes repeat suite runs much faster
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -14,6 +13,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The TPU plugin in this image registers itself from sitecustomize and
+# force-selects its platform via jax.config.update("jax_platforms", ...),
+# which overrides the env vars above.  Pin the config value itself so the
+# suite always runs on the 8-virtual-device CPU backend and never touches
+# (or blocks on) the remote TPU link.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
