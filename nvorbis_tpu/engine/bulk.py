@@ -32,7 +32,21 @@ import jax.numpy as jnp
 from nvorbis_tpu.synth.device import DeviceSynth, synth_core
 
 CHUNK_FRAMES = 8192
+# per-block-size collection cap: full chunks then hold exactly this many
+# frames of the dominant size (a power of two), so their padded bucket
+# shapes — and therefore the compiled program — repeat across chunks
+CAP_PER_SIZE = 4096
 L_QUANTUM = 65536
+
+
+def peek_mode_index(data: bytes, mode_field_bits: int):
+    """Read an audio packet's mode number from its first bits (type bit 0 +
+    mode field, LSB-first) without a full unpack; None for non-audio/empty
+    packets.  Used to count frames per block size while collecting chunks."""
+    if not data or (data[0] & 1):
+        return None
+    head = int.from_bytes(data[:3], "little")
+    return (head >> 1) & ((1 << mode_field_bits) - 1)
 
 
 class FramePlan:
@@ -227,17 +241,27 @@ class BulkDecoder:
         out_chunks = []
 
         carry = None  # (rows dict, meta row, plan) of last good frame
+        mfb = setup.mode_field_bits
+        n_modes = len(setup.modes)
         provider_done = False
         while not provider_done:
             packets = []
             raw = []
+            size_counts = {}
             while len(packets) < CHUNK_FRAMES:
                 p = dec._packet_provider.get_next_packet()
                 if p is None:
                     provider_done = True
                     break
                 packets.append(p)
-                raw.append(bytes(p.data))
+                data = bytes(p.data)
+                raw.append(data)
+                mi = peek_mode_index(data, mfb)
+                if mi is not None and mi < n_modes:
+                    n = setup.modes[mi].block_size
+                    size_counts[n] = size_counts.get(n, 0) + 1
+                    if size_counts[n] >= CAP_PER_SIZE:
+                        break
             if not packets:
                 break
 

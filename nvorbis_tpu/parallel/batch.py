@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from nvorbis_tpu.codec.floor import Floor1
-from nvorbis_tpu.engine.bulk import StreamPlanner, _round_up, L_QUANTUM
+from nvorbis_tpu.engine.bulk import (
+    StreamPlanner, _round_up, peek_mode_index, CAP_PER_SIZE, L_QUANTUM,
+)
 from nvorbis_tpu.synth.device import synth_spectra, floor1_bin_map, _XS_PAD
 from nvorbis_tpu.synth.oracle import imdct_basis
 from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
@@ -39,12 +41,12 @@ CHUNK_FRAMES = 8192
 
 
 def _bucket_size(b: int) -> int:
-    """Coarse padded batch sizes to bound recompiles."""
+    """Next power of two (min 16): bounds recompiles at <2x padding waste."""
     if b <= 16:
         return 16
     p = 16
     while p < b:
-        p <<= 2
+        p <<= 1
     return p
 
 
@@ -265,20 +267,32 @@ class BatchDecoder:
         stream_of = []
         plans = []
         budget = CHUNK_FRAMES
+        size_counts = {}
         got_any = False
         for st in active:
             if st.done or budget <= 0:
                 continue
             dec = st.decoder
+            setup = dec._setup
+            mfb = setup.mode_field_bits
+            nm = len(setup.modes)
             packets = []
             raw = []
             while len(packets) < budget:
+                if size_counts and max(size_counts.values()) >= CAP_PER_SIZE:
+                    budget = 0
+                    break
                 p = dec._packet_provider.get_next_packet()
                 if p is None:
                     st.done = True
                     break
                 packets.append(p)
-                raw.append(bytes(p.data))
+                data = bytes(p.data)
+                raw.append(data)
+                mi = peek_mode_index(data, mfb)
+                if mi is not None and mi < nm:
+                    n = setup.modes[mi].block_size
+                    size_counts[n] = size_counts.get(n, 0) + 1
             if not packets:
                 continue
             got_any = True

@@ -285,16 +285,13 @@ class DeviceSynth:
 
     @staticmethod
     def _bucket(b: int) -> int:
-        """Round batch size up to a coarse bucket to bound recompiles.
-
-        Two compiled sizes per readahead window (16 and 64) cover the steady
-        state; tiny pads cost almost nothing on device.
-        """
+        """Round batch size up to the next power of two (min 16) to bound
+        recompiles while keeping padded upload/compute waste under 2x."""
         if b <= 16:
             return 16
         p = 16
         while p < b:
-            p <<= 2
+            p <<= 1
         return p
 
     def dispatch(self, residue, ys, used, has_floor, window_index, f0_curves=None):
