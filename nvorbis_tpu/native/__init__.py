@@ -71,6 +71,22 @@ def load():
                 ctypes.c_void_p,  # meta
                 ctypes.c_int32,   # n_threads
             ]
+            lib.nvt_unpack_window_sym.argtypes = [
+                ctypes.c_void_p,  # setup
+                ctypes.c_void_p,  # bytes
+                ctypes.c_void_p,  # offsets
+                ctypes.c_int32,   # n_packets
+                ctypes.c_void_p,  # classes
+                ctypes.c_void_p,  # ids
+                ctypes.c_void_p,  # ys
+                ctypes.c_void_p,  # used
+                ctypes.c_void_p,  # has_floor
+                ctypes.c_void_p,  # meta
+                ctypes.c_int32,   # n_part_max
+                ctypes.c_int32,   # chr_max
+                ctypes.c_int32,   # max_ids
+                ctypes.c_int32,   # n_threads
+            ]
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -196,6 +212,14 @@ class NativeUnpacker:
         self.max_posts = max_posts
         self.n2max = setup.block1_size // 2
 
+        # residue symbol mode (see synth/residue_sym.py): available when the
+        # setup's residues admit partition-local symbol addressing
+        from nvorbis_tpu.synth.residue_sym import plan_for_setup, sym_geometry
+
+        self.sym_plans = plan_for_setup(setup)
+        if self.sym_plans is not None:
+            self._sym_geom = sym_geometry(setup, self.sym_plans)
+
     def __del__(self):
         if self._handle:
             try:
@@ -232,3 +256,44 @@ class NativeUnpacker:
             n_threads,
         )
         return residue, ys, used, has_floor, meta
+
+    def unpack_sym(self, packets, n_threads=0):
+        """Symbol-mode unpack: residues as classes + canonical entry ids.
+
+        Returns (classes [B, CHR, n_part_max] u8, ids [B, max_ids] i16,
+        ys, used, has_floor, meta) with meta[:, 5] = per-frame id count.
+        Requires ``sym_plans`` (caller checks).
+        """
+        B = len(packets)
+        C, P = self.channels, self.max_posts
+        n_part_max, chr_max, max_ids = self._sym_geom
+        offsets = np.zeros(B + 1, dtype=np.int64)
+        for i, pk in enumerate(packets):
+            offsets[i + 1] = offsets[i] + len(pk)
+        data = b"".join(packets)
+        buf = np.frombuffer(data, dtype=np.uint8)
+
+        classes = np.zeros((B, chr_max, n_part_max), dtype=np.uint8)
+        ids = np.zeros((B, max_ids), dtype=np.int16)
+        ys = np.zeros((B, C, P), dtype=np.int32)
+        used = np.zeros((B, C, P), dtype=np.uint8)
+        has_floor = np.zeros((B, C), dtype=np.uint8)
+        meta = np.zeros((B, 8), dtype=np.int32)
+
+        self._lib.nvt_unpack_window_sym(
+            self._handle,
+            buf.ctypes.data,
+            offsets.ctypes.data,
+            B,
+            classes.ctypes.data,
+            ids.ctypes.data,
+            ys.ctypes.data,
+            used.ctypes.data,
+            has_floor.ctypes.data,
+            meta.ctypes.data,
+            n_part_max,
+            chr_max,
+            max_ids,
+            n_threads,
+        )
+        return classes, ids, ys, used, has_floor, meta

@@ -362,6 +362,135 @@ void residue_decode(const Setup& s, const Residue& r, BitReader& br,
   }
 }
 
+// --------------------------------------------------- residue symbol emission
+//
+// Symbol mode defers VQ accumulation to the device: instead of dense float
+// spectra, each frame emits (a) its per-partition classification bytes and
+// (b) the decoded codebook entry ids, compacted into a canonical
+// (stage, channel, partition)-major layout whose slot counts are a pure
+// function of the classes — so the device can recompute every id's address
+// from the classes alone and reconstruct the spectrum with gathers.
+// Decode order is the bitstream's interleaved order (same as
+// residue_decode); ids are buffered with their coordinates and scattered
+// into canonical slots afterwards.
+
+constexpr uint8_t kClassSentinel = 0xFF;  // partition not decoded / no class
+
+struct SymEntry {
+  int16_t stage, ch, part, gidx;
+  int32_t id;
+};
+
+struct SymSink {
+  std::vector<SymEntry> entries;
+  inline void add(int stage, int ch, int part, int gidx, int id) {
+    entries.push_back({(int16_t)stage, (int16_t)ch, (int16_t)part,
+                       (int16_t)gidx, id});
+  }
+};
+
+// groups (= id slots) per partition for (class, stage); 0 when no book
+inline int sym_groups(const Setup& s, const Residue& r, int cls, int stage) {
+  int32_t bnum = r.books[(int64_t)cls * r.max_stages + stage];
+  if (bnum < 0) return 0;
+  if (!(r.cascade[cls] & (1 << stage))) return 0;
+  int dims = s.books[bnum].dims;
+  if (r.type == 0) return r.partition_size / dims;
+  return (r.partition_size + dims - 1) / dims;
+}
+
+// Clone of residue_decode that records entry ids instead of accumulating.
+// classes_out: [eff_ch * n_part] (caller pre-fills with kClassSentinel).
+void residue_decode_sym(const Setup& s, const Residue& r, BitReader& br,
+                        int ch, const std::vector<uint8_t>& do_not_decode,
+                        int block_size, uint8_t* classes_out, int n_part_row,
+                        SymSink& sink) {
+  bool all_dnd = true;
+  for (uint8_t d : do_not_decode) all_dnd &= (d != 0);
+  if (all_dnd) return;
+
+  int type = r.type;
+  int64_t half = (type == 2) ? (int64_t)block_size * ch / 2 : block_size / 2;
+  int eff_ch = (type == 2) ? 1 : ch;
+
+  int end = (int)std::min<int64_t>(r.end, half);
+  int n = end - r.begin;
+  if (n <= 0) return;
+  int psize = r.partition_size;
+  int partitions = n / psize;
+  const Codebook& cb = s.books[r.classbook];
+  int cb_dims = r.cb_dims;
+  int part_words = (partitions + cb_dims - 1) / cb_dims;
+
+  std::vector<const int32_t*> cache((size_t)eff_ch * part_words, nullptr);
+
+  for (int stage = 0; stage < r.max_stages; ++stage) {
+    int pi = 0, ei = 0;
+    while (pi < partitions) {
+      if (stage == 0) {
+        for (int c = 0; c < eff_ch; ++c) {
+          if (eff_ch > 1 && do_not_decode[c]) continue;
+          int idx = cb.decode_scalar(br);
+          if (idx < 0 || idx >= r.partvals) return;  // bail, keep partial
+          const int32_t* row = &r.decode_map[(int64_t)idx * cb_dims];
+          cache[(size_t)c * part_words + ei] = row;
+          for (int d = 0; d < cb_dims && pi + d < partitions; ++d)
+            classes_out[(size_t)c * n_part_row + pi + d] = (uint8_t)row[d];
+        }
+      }
+      for (int d = 0; d < cb_dims && pi < partitions; ++d, ++pi) {
+        for (int c = 0; c < eff_ch; ++c) {
+          if (eff_ch > 1 && do_not_decode[c]) continue;
+          const int32_t* row = cache[(size_t)c * part_words + ei];
+          int cls = row[d];
+          if (r.cascade[cls] & (1 << stage)) {
+            int32_t bnum = r.books[(int64_t)cls * r.max_stages + stage];
+            if (bnum >= 0) {
+              const Codebook& book = s.books[bnum];
+              int groups = sym_groups(s, r, cls, stage);
+              for (int g = 0; g < groups; ++g) {
+                int e = book.decode_scalar(br);
+                if (e == -1) return;  // bail: emitted ids stay (partial data)
+                sink.add(stage, c, pi, g, e);
+              }
+            }
+          }
+        }
+      }
+      ++ei;
+    }
+  }
+}
+
+// Scatter buffered ids into the canonical (stage, ch, part)-major layout.
+// Returns the layout size (total slots derived from classes); ids beyond
+// max_ids are dropped (callers size max_ids from the setup so this cannot
+// happen for well-formed packets).
+int sym_finalize(const Setup& s, const Residue& r, const uint8_t* classes,
+                 int eff_ch, int n_part, int n_part_row, int16_t* ids_out,
+                 int max_ids, const SymSink& sink) {
+  // prefix[(stage*eff_ch + ch)*n_part + part] = canonical slot base
+  int L = r.max_stages * eff_ch * n_part;
+  std::vector<int32_t> base((size_t)L + 1, 0);
+  int32_t acc = 0;
+  for (int stg = 0; stg < r.max_stages; ++stg)
+    for (int c = 0; c < eff_ch; ++c)
+      for (int part = 0; part < n_part; ++part) {
+        base[(size_t)(stg * eff_ch + c) * n_part + part] = acc;
+        uint8_t cls = classes[(size_t)c * n_part_row + part];
+        if (cls != kClassSentinel) acc += sym_groups(s, r, cls, stg);
+      }
+  base[L] = acc;
+  int count = std::min(acc, max_ids);
+  for (int i = 0; i < count; ++i) ids_out[i] = -1;
+  for (const SymEntry& e : sink.entries) {
+    int32_t slot =
+        base[(size_t)(e.stage * eff_ch + e.ch) * n_part + e.part] + e.gidx;
+    if (slot < max_ids) ids_out[slot] = (int16_t)e.id;
+  }
+  return count;
+}
+
 // ------------------------------------------------------------ packet unpack
 
 // meta layout per packet: [status, mode_idx, window_index, bits_read,
@@ -437,6 +566,76 @@ void unpack_one(const Setup& s, const uint8_t* bytes, int64_t nbytes,
   meta[2] = window_index;
   meta[3] = (int32_t)br.pos;
   (void)n2;
+}
+
+// Symbol-mode variant of unpack_one: floors as usual, residues emitted as
+// classes + canonical ids (single-submap setups only; the caller gates).
+// meta[5] = id count (canonical layout size).
+void unpack_one_sym(const Setup& s, const uint8_t* bytes, int64_t nbytes,
+                    uint8_t* classes_out,  // [CHR_max, n_part_max]
+                    int16_t* ids_out,      // [max_ids]
+                    int32_t* ys_out, uint8_t* used_out, uint8_t* has_floor_out,
+                    int32_t* meta, int n_part_max, int chr_max, int max_ids) {
+  int C = s.channels;
+  int P = s.max_posts;
+  BitReader br(bytes, nbytes);
+  std::memset(meta, 0, sizeof(int32_t) * 8);
+  std::memset(classes_out, kClassSentinel, (size_t)chr_max * n_part_max);
+  meta[4] = (int32_t)br.nbits;
+
+  if (br.read_bit()) {
+    meta[0] = 0;
+    meta[3] = (int32_t)br.pos;
+    return;
+  }
+  int mode_idx = (int)br.read(s.mode_field_bits);
+  if (mode_idx >= (int)s.modes.size() || br.is_short) {
+    meta[0] = -1;
+    meta[3] = (int32_t)br.pos;
+    return;
+  }
+  const Mode& mode = s.modes[mode_idx];
+  int window_index = 0;
+  if (mode.block_flag) {
+    bool prev_flag = br.read_bit();
+    bool next_flag = br.read_bit();
+    window_index = (prev_flag ? 1 : 0) + (next_flag ? 2 : 0);
+  }
+  const Mapping& mapping = s.mappings[mode.mapping_idx];
+  int n = mode.block_size;
+
+  for (int c = 0; c < C; ++c) {
+    const Floor1& f = s.floors[mapping.submap_floor[mapping.mux[c]]];
+    bool hf = floor1_unpack(s, f, br, &ys_out[(int64_t)c * P],
+                            &used_out[(int64_t)c * P], P);
+    has_floor_out[c] = hf ? 1 : 0;
+  }
+
+  std::vector<uint8_t> execute(has_floor_out, has_floor_out + C);
+  for (int i = 0; i < mapping.coupling_count; ++i) {
+    int m = mapping.mag[i], a = mapping.ang[i];
+    if (execute[m] || execute[a]) execute[m] = execute[a] = 1;
+  }
+
+  const Residue& r = s.residues[mapping.submap_residue[0]];
+  std::vector<uint8_t> dnd;
+  for (int c = 0; c < C; ++c) dnd.push_back(execute[c] ? 0 : 1);
+
+  SymSink sink;
+  residue_decode_sym(s, r, br, C, dnd, n, classes_out, n_part_max, sink);
+
+  int64_t half = (r.type == 2) ? (int64_t)n * C / 2 : n / 2;
+  int eff_ch = (r.type == 2) ? 1 : C;
+  int end = (int)std::min<int64_t>(r.end, half);
+  int n_part = std::max(0, (end - r.begin) / r.partition_size);
+  int count = sym_finalize(s, r, classes_out, eff_ch, n_part, n_part_max,
+                           ids_out, max_ids, sink);
+
+  meta[0] = 1;
+  meta[1] = mode_idx;
+  meta[2] = window_index;
+  meta[3] = (int32_t)br.pos;
+  meta[5] = count;
 }
 
 }  // namespace
@@ -553,6 +752,54 @@ void nvt_unpack_window(void* setup, const uint8_t* bytes,
                residue + (int64_t)k * C * n2max, ys + (int64_t)k * C * P,
                used + (int64_t)k * C * P, has_floor + (int64_t)k * C,
                meta + (int64_t)k * 8);
+  };
+
+  int hw = (int)std::thread::hardware_concurrency();
+  int nt = n_threads > 0 ? n_threads : std::max(1, std::min(hw, 16));
+  nt = std::min(nt, n_packets);
+  if (nt <= 1) {
+    for (int k = 0; k < n_packets; ++k) work(k);
+    return;
+  }
+  std::atomic<int> next(0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&]() {
+      for (;;) {
+        int k = next.fetch_add(1);
+        if (k >= n_packets) break;
+        work(k);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Symbol-mode window unpack: residues come back as per-partition classes +
+// canonically-laid-out codebook entry ids (see residue symbol emission
+// above) instead of dense float spectra — an order-of-magnitude smaller
+// host->device payload; the device reconstructs the spectrum with gathers.
+// Single-submap setups only (the Python caller gates on that).
+void nvt_unpack_window_sym(void* setup, const uint8_t* bytes,
+                           const int64_t* offsets, int32_t n_packets,
+                           uint8_t* classes,    // [n, CHR_max, n_part_max]
+                           int16_t* ids,        // [n, max_ids]
+                           int32_t* ys,         // [n, C, P]
+                           uint8_t* used,       // [n, C, P]
+                           uint8_t* has_floor,  // [n, C]
+                           int32_t* meta,       // [n, 8]
+                           int32_t n_part_max, int32_t chr_max,
+                           int32_t max_ids, int32_t n_threads) {
+  Setup* s = (Setup*)setup;
+  int C = s->channels;
+  int P = s->max_posts;
+
+  auto work = [&](int k) {
+    unpack_one_sym(*s, bytes + offsets[k], offsets[k + 1] - offsets[k],
+                   classes + (int64_t)k * chr_max * n_part_max,
+                   ids + (int64_t)k * max_ids, ys + (int64_t)k * C * P,
+                   used + (int64_t)k * C * P, has_floor + (int64_t)k * C,
+                   meta + (int64_t)k * 8, n_part_max, chr_max, max_ids);
   };
 
   int hw = (int)std::thread::hardware_concurrency();

@@ -1,0 +1,235 @@
+"""Device-side residue reconstruction from VQ symbol streams.
+
+The dense host path materializes each frame's spectrum as ``[C, n2]`` float32
+on the CPU and ships ~8 KB/frame over the host->device link.  In symbol mode
+the C++ host plane instead emits (a) per-partition classification bytes and
+(b) the raw codebook entry ids in a canonical (stage, channel,
+partition)-major layout (``native/host_decode.cpp`` residue symbol
+emission) — ~0.5 KB/frame — and this module rebuilds the spectrum on device
+with table gathers:
+
+    value(bin) = sum over stages of VQ[book(class(bin), s)][id(bin, s), elem]
+
+where every index is derived from the uploaded classes/ids plus small static
+tables.  Addition order matches the bitstream accumulation order (stage
+ascending, one contribution per stage per bin), so results are bit-identical
+to the dense path (NVorbis/Residue0.cs:119-201 semantics).
+
+Gating (``plan_for_setup`` returns None otherwise): single-submap mappings,
+stage-book entry counts that fit int16, and — for residue types 1/2 — vector
+dims dividing the partition size (otherwise vectors overshoot partition
+boundaries, which the partition-local addressing cannot express; the dense
+path handles those).
+"""
+
+import numpy as np
+
+CLASS_SENTINEL = 255
+
+# ids arrays are padded to multiples of this so chunk programs re-compile
+# only when the symbol volume crosses a large quantum
+IDS_QUANTUM = 1 << 17
+
+
+class ResiduePlan:
+    """Static symbol-layout tables for one residue config."""
+
+    __slots__ = (
+        "residue_type", "begin", "end", "psize", "S", "n_cls", "channels",
+        "groups_np", "div_np", "vq_base_np", "dims_np", "vq_mega_np",
+    )
+
+    def __init__(self, residue, channels):
+        self.residue_type = residue.residue_type
+        self.begin = residue.begin
+        self.end = residue.end
+        self.psize = residue.partition_size
+        self.S = max(1, residue.max_stages)
+        self.n_cls = residue.classifications
+        self.channels = channels
+
+        psize, S, n_cls = self.psize, self.S, self.n_cls
+        groups = np.zeros((256, S), dtype=np.int32)
+        div = np.full((n_cls, S, psize), -1, dtype=np.int32)
+        vq_base = np.full((n_cls, S), -1, dtype=np.int32)
+        dims_t = np.zeros((n_cls, S), dtype=np.int32)
+        mega = []
+        mega_off = {}
+
+        for cls in range(n_cls):
+            row = residue.books[cls]
+            for s in range(len(row)):
+                book = row[s]
+                if book is None or not (residue.cascade[cls] & (1 << s)):
+                    continue
+                d = book.dimensions
+                if id(book) not in mega_off:
+                    mega_off[id(book)] = sum(m.size for m in mega)
+                    mega.append(
+                        np.asarray(book.lookup, dtype=np.float32).ravel()
+                    )
+                vq_base[cls, s] = mega_off[id(book)]
+                dims_t[cls, s] = d
+                w = np.arange(psize)
+                if self.residue_type == 0:
+                    steps = psize // d
+                    groups[cls, s] = steps
+                    if steps > 0:
+                        valid = w < steps * d
+                        g = w % steps
+                        e = w // steps
+                        div[cls, s] = np.where(valid, (g << 16) | e, -1)
+                else:
+                    groups[cls, s] = -(-psize // d)
+                    div[cls, s] = ((w // d) << 16) | (w % d)
+        self.groups_np = groups
+        self.div_np = div
+        self.vq_base_np = vq_base
+        self.dims_np = dims_t
+        self.vq_mega_np = (
+            np.concatenate(mega) if mega else np.zeros(1, dtype=np.float32)
+        )
+
+    # -- per-block-size geometry ------------------------------------------------
+
+    def chr_count(self) -> int:
+        return 1 if self.residue_type == 2 else self.channels
+
+    def half(self, block_size: int) -> int:
+        if self.residue_type == 2:
+            return block_size * self.channels // 2
+        return block_size // 2
+
+    def n_part(self, block_size: int) -> int:
+        end = min(self.end, self.half(block_size))
+        return max(0, (end - self.begin) // self.psize)
+
+    def max_ids(self, block_size: int) -> int:
+        per_stage = self.groups_np[: self.n_cls].max(axis=0)  # [S]
+        return int(per_stage.sum()) * self.chr_count() * self.n_part(block_size)
+
+
+def plan_for_setup(setup):
+    """Build ResiduePlans for a setup; None when symbol mode cannot apply."""
+    for m in setup.mappings:
+        if m.submap_count != 1:
+            return None
+    plans = {}
+    for mode in setup.modes:
+        res = setup.residues[mode.mapping.submap_residue[0]]
+        if id(res) in plans:
+            continue
+        for cls in range(res.classifications):
+            for s, book in enumerate(res.books[cls]):
+                if book is None or not (res.cascade[cls] & (1 << s)):
+                    continue
+                if book.entries > 32767:
+                    return None
+                if res.residue_type != 0 and res.partition_size % book.dimensions:
+                    return None
+        plans[id(res)] = ResiduePlan(res, setup.channels)
+    return plans
+
+
+def sym_geometry(setup, plans):
+    """(n_part_max, chr_max, max_ids_max) over all modes — the native unpack
+    buffer shape."""
+    n_part_max = chr_max = ids_max = 1
+    for mode in setup.modes:
+        plan = plans[id(setup.residues[mode.mapping.submap_residue[0]])]
+        n_part_max = max(n_part_max, plan.n_part(mode.block_size))
+        chr_max = max(chr_max, plan.chr_count())
+        ids_max = max(ids_max, plan.max_ids(mode.block_size))
+    return n_part_max, chr_max, ids_max
+
+
+def plan_tables_dev(plan):
+    """Device-resident constant tables for a plan (upload once)."""
+    import jax.numpy as jnp
+
+    return (
+        jnp.asarray(plan.groups_np),
+        jnp.asarray(plan.div_np.reshape(-1)),
+        jnp.asarray(plan.vq_base_np.reshape(-1)),
+        jnp.asarray(plan.dims_np.reshape(-1)),
+        jnp.asarray(plan.vq_mega_np),
+    )
+
+
+def plan_static(plan, block_size):
+    """Hashable static geometry for the jitted program."""
+    return (
+        plan.begin, plan.psize, plan.n_part(block_size), plan.chr_count(),
+        plan.S, plan.n_cls, plan.half(block_size), plan.residue_type,
+    )
+
+
+def reconstruct_spectrum(classes, ids_flat, frame_base, tabs, st, channels):
+    """Traceable: rebuild residue spectra ``[B, C, n2]`` from symbols.
+
+    classes ``[B, CHR, n_part]`` int32 (CLASS_SENTINEL = undecoded),
+    ids_flat ``[N]`` int32 (-1 = missing), frame_base ``[B]`` int32 offsets
+    into ids_flat; tabs from :func:`plan_tables_dev`; st from
+    :func:`plan_static`.
+    """
+    import jax.numpy as jnp
+
+    begin, psize, n_part, CHR, S, n_cls, half, rtype = st
+    groups_t, div_t, vqb_t, dims_t, mega_t = tabs
+    B = classes.shape[0]
+    n_ids = ids_flat.shape[0]
+    mega_n = mega_t.shape[0]
+
+    if n_part == 0:
+        acc = jnp.zeros((B, CHR, 0), dtype=jnp.float32)
+    else:
+        coded = n_part * psize
+        # canonical (stage, ch, part)-major exclusive prefix of slot counts
+        counts = jnp.take(groups_t, classes, axis=0)  # [B, CHR, n_part, S]
+        counts_c = counts.transpose(0, 3, 1, 2).reshape(B, -1)
+        prefix = jnp.cumsum(counts_c, axis=1) - counts_c  # exclusive
+        prefix = prefix.reshape(B, S, CHR, n_part)
+
+        part_idx = np.arange(coded, dtype=np.int32) // psize  # static
+        w_idx = np.arange(coded, dtype=np.int32) % psize
+        cls = jnp.take(classes, jnp.asarray(part_idx), axis=2)  # [B,CHR,coded]
+        is_cls = cls < n_cls
+        cls_safe = jnp.where(is_cls, cls, 0)
+
+        acc = jnp.zeros((B, CHR, coded), dtype=jnp.float32)
+        for s in range(S):
+            pe = jnp.take(
+                div_t, (cls_safe * S + s) * psize + jnp.asarray(w_idx)
+            )
+            live = is_cls & (pe >= 0)
+            g = pe >> 16
+            e = pe & 0xFFFF
+            sb = jnp.take(prefix[:, s], jnp.asarray(part_idx), axis=2)
+            slot = frame_base[:, None, None] + sb + g
+            idv = jnp.take(ids_flat, jnp.clip(slot, 0, n_ids - 1))
+            live = live & (idv >= 0)
+            vb = jnp.take(vqb_t, cls_safe * S + s)
+            dm = jnp.take(dims_t, cls_safe * S + s)
+            addr = vb + idv * dm + e
+            val = jnp.take(mega_t, jnp.clip(addr, 0, mega_n - 1))
+            acc = acc + jnp.where(live, val, jnp.float32(0.0))
+
+    if rtype == 2:
+        full = jnp.zeros((B, half), dtype=jnp.float32)
+        full = jnp.pad(
+            acc.reshape(B, -1), [(0, 0), (begin, half - begin - acc.shape[-1] * 1)]
+        ) if acc.shape[-1] else full
+        # de-interleave: [B, n2*C] -> [B, n2, C] -> [B, C, n2]
+        n2 = half // channels
+        return full.reshape(B, n2, channels).transpose(0, 2, 1)
+    # types 0/1: CHR == channels, half == n2
+    if acc.shape[-1]:
+        return jnp.pad(
+            acc, [(0, 0), (0, 0), (begin, half - begin - acc.shape[-1])]
+        )
+    return jnp.zeros((B, channels, half), dtype=jnp.float32)
+
+
+def round_ids(n: int) -> int:
+    """Pad symbol counts to a coarse quantum to bound recompiles."""
+    return max(IDS_QUANTUM, -(-n // IDS_QUANTUM) * IDS_QUANTUM)
