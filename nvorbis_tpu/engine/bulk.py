@@ -161,7 +161,10 @@ def _bulk_program(cfg):
     """Build the fused synthesize + overlap-add program for one chunk shape.
 
     ``cfg``: (C, L_pad, S_pad, buckets) with buckets a tuple of
-    (B_pad, n, coupling) per mode present.
+    ("d", B_pad, n, coupling) — dense residue input — or
+    ("s", B_pad, n, coupling, st, N_pad) — residue symbol input, where
+    ``st`` is the residue's plan_static geometry and N_pad the padded flat
+    id count (see synth/residue_sym.py).
 
     The overlap-add is *gather*-formulated (XLA TPU scatters with duplicate
     indices serialize; gathers do not): the host planner tiles the output
@@ -179,15 +182,29 @@ def _bulk_program(cfg):
     [S_pad].  Output: raw (unclipped) samples ``[L_pad, C]``.
     """
     C, L_pad, S_pad, buckets = cfg
-    n_max = max(n for _, n, _ in buckets)
+    n_max = max(b[2] for b in buckets)
 
     def fn(*flat):
+        from nvorbis_tpu.synth.residue_sym import reconstruct_spectrum
+
         i = 0
         all_rows = []
-        for B, n, coupling in buckets:
-            (residue, ys, used, has_floor, window_index, xs, windows,
-             basis, sl) = flat[i : i + 9]
-            i += 9
+        for b in buckets:
+            if b[0] == "s":
+                _, B, n, coupling, st, _npad = b
+                (classes, ids_flat, frame_base, ys, used, has_floor,
+                 window_index, xs, windows, basis, sl,
+                 g_t, d_t, vb_t, dm_t, mg_t) = flat[i : i + 16]
+                i += 16
+                residue = reconstruct_spectrum(
+                    classes, ids_flat, frame_base,
+                    (g_t, d_t, vb_t, dm_t, mg_t), st, C,
+                )
+            else:
+                _, B, n, coupling = b
+                (residue, ys, used, has_floor, window_index, xs, windows,
+                 basis, sl) = flat[i : i + 9]
+                i += 9
             pcm = synth_core(
                 residue, ys, used, has_floor, window_index, xs, windows,
                 basis, coupling, sl=sl,
@@ -222,6 +239,18 @@ class BulkDecoder:
         self._native = native
         self._synths = {}
         self._last_plan = None
+        # residue symbol mode: ship classes+ids, rebuild spectra on device
+        self._sym = getattr(native, "sym_plans", None) is not None
+        self._plan_tabs = {}
+
+    def _tabs_for(self, plan):
+        t = self._plan_tabs.get(id(plan))
+        if t is None:
+            from nvorbis_tpu.synth.residue_sym import plan_tables_dev
+
+            t = plan_tables_dev(plan)
+            self._plan_tabs[id(plan)] = t
+        return t
 
     def _synth_for(self, mode):
         s = self._synths.get(id(mode))
@@ -265,7 +294,13 @@ class BulkDecoder:
             if not packets:
                 break
 
-            residue, ys, used, has_floor, meta = self._native.unpack(raw)
+            if self._sym:
+                classes, ids, ys, used, has_floor, meta = (
+                    self._native.unpack_sym(raw)
+                )
+                residue = (classes, ids)
+            else:
+                residue, ys, used, has_floor, meta = self._native.unpack(raw)
             used = used.astype(bool)
             has_floor = has_floor.astype(bool)
 
@@ -320,16 +355,20 @@ class BulkDecoder:
                     last_good = i
                     break
             if last_good is not None:
-                carry = (
-                    {
-                        "residue": residue[last_good].copy(),
-                        "ys": ys[last_good].copy(),
-                        "used": used[last_good].copy(),
-                        "has_floor": has_floor[last_good].copy(),
-                        "meta": meta[last_good].copy(),
-                    },
-                    plans[last_good],
-                )
+                crow = {
+                    "ys": ys[last_good].copy(),
+                    "used": used[last_good].copy(),
+                    "has_floor": has_floor[last_good].copy(),
+                    "meta": meta[last_good].copy(),
+                }
+                if self._sym:
+                    crow["classes"] = residue[0][last_good].copy()
+                    crow["ids"] = (
+                        residue[1][last_good, : meta[last_good, 5]].copy()
+                    )
+                else:
+                    crow["residue"] = residue[last_good].copy()
+                carry = (crow, plans[last_good])
 
         dec._eos_found = True
         dec._prev_buf = None
@@ -385,16 +424,39 @@ class BulkDecoder:
             B = len(rows) + extra
             B_pad = synth._bucket(B)
 
-            res_b = np.zeros((B_pad, C, n2), dtype=np.float32)
             ys_b = np.zeros((B_pad, C, ys.shape[2]), dtype=np.int32)
             used_b = np.zeros((B_pad, C, used.shape[2]), dtype=bool)
             hf_b = np.zeros((B_pad, C), dtype=bool)
             widx_b = np.zeros(B_pad, dtype=np.int32)
 
+            if self._sym:
+                from nvorbis_tpu.synth.residue_sym import (
+                    CLASS_SENTINEL, plan_static, round_ids,
+                )
+
+                res_cfg = setup.residues[mode.mapping.submap_residue[0]]
+                plan = self._native.sym_plans[id(res_cfg)]
+                st = plan_static(plan, n)
+                n_part, chr_c = st[2], st[3]
+                cls_b = np.full((B_pad, chr_c, max(1, n_part)),
+                                CLASS_SENTINEL, dtype=np.uint8)
+                base_b = np.zeros(B_pad, dtype=np.int32)
+                id_parts = []
+                pos = 0
+                classes_w, ids_w = residue  # window outputs
+            else:
+                res_b = np.zeros((B_pad, C, n2), dtype=np.float32)
+
             j = 0
             if extra:
                 crow, _ = carry_extra[mode_idx]
-                res_b[0] = crow["residue"][:, :n2]
+                if self._sym:
+                    cls_b[0, :, :n_part] = crow["classes"][:chr_c, :n_part]
+                    base_b[0] = pos
+                    id_parts.append(crow["ids"])
+                    pos += len(crow["ids"])
+                else:
+                    res_b[0] = crow["residue"][:, :n2]
                 ys_b[0] = crow["ys"]
                 used_b[0] = crow["used"]
                 hf_b[0] = crow["has_floor"]
@@ -402,7 +464,14 @@ class BulkDecoder:
                 carry_row = row_base
                 j = 1
             for i in rows:
-                res_b[j] = residue[i, :, :n2]
+                if self._sym:
+                    cls_b[j, :, :n_part] = classes_w[i, :chr_c, :n_part]
+                    base_b[j] = pos
+                    cnt = int(meta[i, 5])
+                    id_parts.append(ids_w[i, :cnt])
+                    pos += cnt
+                else:
+                    res_b[j] = residue[i, :, :n2]
                 ys_b[j] = ys[i]
                 used_b[j] = used[i]
                 hf_b[j] = has_floor[i]
@@ -410,13 +479,31 @@ class BulkDecoder:
                 row_of[i] = row_base + j
                 j += 1
 
-            cfg_buckets.append((B_pad, n, synth.coupling_steps))
-            args.extend([
-                jnp.asarray(res_b), jnp.asarray(ys_b), jnp.asarray(used_b),
-                jnp.asarray(hf_b), jnp.asarray(widx_b),
-                synth._xs_dev, synth._windows_dev, synth._basis_dev,
-                synth._sl_dev,
-            ])
+            if self._sym:
+                N_pad = round_ids(pos)
+                flat = np.full(N_pad, -1, dtype=np.int32)
+                if pos:
+                    flat[:pos] = np.concatenate(id_parts).astype(np.int32)
+                cfg_buckets.append(
+                    ("s", B_pad, n, synth.coupling_steps, st, N_pad)
+                )
+                args.extend([
+                    jnp.asarray(cls_b.astype(np.int32)), jnp.asarray(flat),
+                    jnp.asarray(base_b),
+                    jnp.asarray(ys_b), jnp.asarray(used_b),
+                    jnp.asarray(hf_b), jnp.asarray(widx_b),
+                    synth._xs_dev, synth._windows_dev, synth._basis_dev,
+                    synth._sl_dev, *self._tabs_for(plan),
+                ])
+            else:
+                cfg_buckets.append(("d", B_pad, n, synth.coupling_steps))
+                args.extend([
+                    jnp.asarray(res_b), jnp.asarray(ys_b),
+                    jnp.asarray(used_b),
+                    jnp.asarray(hf_b), jnp.asarray(widx_b),
+                    synth._xs_dev, synth._windows_dev, synth._basis_dev,
+                    synth._sl_dev,
+                ])
             row_base += B_pad
 
         # --- segment table: contiguous tiling of [0, L_real) --------------

@@ -53,22 +53,40 @@ def _bucket_size(b: int) -> int:
 @functools.lru_cache(maxsize=64)
 def _batch_program(cfg, mesh_key=None):
     """cfg: (C, L_pad, S_pad, buckets) with buckets a tuple of
-    (B_pad, n, P, W, T, coupling).
+    ("d", B_pad, n, P, W, T, coupling) — dense residue — or
+    ("s", B_pad, n, P, W, T, coupling, st, N_pad) — residue symbols
+    (see synth/residue_sym.py).
 
-    Per bucket args: residue [B,C,n2], ys [B,C,P], used, has_floor [B,C],
-    widx [B], tid [B], xs_t [T,C,P], win_t [T,W,n], basis [n2,n],
-    sl_t [T,C,n2]; then segE [S_pad+1], prim, sec, sec_len.
+    Per dense bucket args: residue [B,C,n2], ys [B,C,P], used,
+    has_floor [B,C], widx [B], tid [B], xs_t [T,C,P], win_t [T,W,n],
+    basis [n2,n], sl_t [T,C,n2]; symbol buckets replace residue with
+    classes [B,CHR,n_part], ids_flat [N_pad], frame_base [B] and append the
+    five plan tables; then segE [S_pad+1], prim, sec, sec_len.
     """
     C, L_pad, S_pad, buckets = cfg
-    n_max = max(b[1] for b in buckets)
+    n_max = max(b[2] for b in buckets)
 
     def fn(*flat):
+        from nvorbis_tpu.synth.residue_sym import reconstruct_spectrum
+
         i = 0
         all_rows = []
-        for B, n, P, W, T, coupling in buckets:
-            (residue, ys, used, has_floor, widx, tid, xs_t, win_t,
-             basis, sl_t) = flat[i : i + 10]
-            i += 10
+        for b in buckets:
+            if b[0] == "s":
+                _, B, n, P, W, T, coupling, st, _npad = b
+                (classes, ids_flat, frame_base, ys, used, has_floor, widx,
+                 tid, xs_t, win_t, basis, sl_t,
+                 g_t, d_t, vb_t, dm_t, mg_t) = flat[i : i + 17]
+                i += 17
+                residue = reconstruct_spectrum(
+                    classes, ids_flat, frame_base,
+                    (g_t, d_t, vb_t, dm_t, mg_t), st, C,
+                )
+            else:
+                _, B, n, P, W, T, coupling = b
+                (residue, ys, used, has_floor, widx, tid, xs_t, win_t,
+                 basis, sl_t) = flat[i : i + 10]
+                i += 10
             xs = jnp.take(xs_t, tid, axis=0)  # [B, C, P]
             sl = jnp.take(sl_t, tid, axis=0)  # [B, C, n2]
             pcm = synth_spectra(
@@ -104,9 +122,15 @@ def _batch_program(cfg, mesh_key=None):
     frame = NamedSharding(mesh, P_("stream"))
     repl = NamedSharding(mesh, P_())
     in_sh = []
-    for _ in buckets:
-        in_sh += [frame, frame, frame, frame, frame, frame,
-                  repl, repl, repl, repl]
+    for b in buckets:
+        if b[0] == "s":
+            # classes/base/per-frame tensors shard by frame; the flat id
+            # stream and the static tables replicate
+            in_sh += [frame, repl, frame, frame, frame, frame, frame, frame,
+                      repl, repl, repl, repl, repl, repl, repl, repl, repl]
+        else:
+            in_sh += [frame, frame, frame, frame, frame, frame,
+                      repl, repl, repl, repl]
     in_sh += [repl, repl, repl, repl]
     return jax.jit(fn, in_shardings=tuple(in_sh), out_shardings=repl)
 
@@ -159,18 +183,38 @@ class BatchDecoder:
     # -- grouping ------------------------------------------------------------
 
     @staticmethod
-    def _group_key(setup):
+    def _group_key(setup, native):
         modes_key = tuple(
             (m.block_size,
              tuple(zip(m.mapping.coupling_mag, m.mapping.coupling_ang)))
             for m in setup.modes
         )
-        return (setup.channels, setup.block0_size, setup.block1_size, modes_key)
+        # symbol mode shares residue tables group-wide, so the tables'
+        # content is part of the key (identical files co-batch; different
+        # codebooks split into separate groups)
+        import hashlib
+
+        plans = getattr(native, "sym_plans", None)
+        if plans is None:
+            sym_key = "dense"
+        else:
+            h = hashlib.md5()
+            for m in setup.modes:
+                plan = plans[id(setup.residues[m.mapping.submap_residue[0]])]
+                for arr in (plan.groups_np, plan.div_np, plan.vq_base_np,
+                            plan.dims_np, plan.vq_mega_np):
+                    h.update(arr.tobytes())
+                h.update(bytes([plan.residue_type]))
+                h.update(plan.begin.to_bytes(4, "little"))
+                h.update(plan.psize.to_bytes(4, "little"))
+            sym_key = h.hexdigest()
+        return (setup.channels, setup.block0_size, setup.block1_size,
+                modes_key, sym_key)
 
     def decode_all(self):
         groups = defaultdict(list)
         for st in self._streams:
-            groups[self._group_key(st.decoder._setup)].append(st)
+            groups[self._group_key(st.decoder._setup, st.native)].append(st)
 
         for key, members in groups.items():
             self._decode_group(members)
@@ -229,6 +273,36 @@ class BatchDecoder:
         win_dev = {n: jnp.asarray(v) for n, v in win_tables.items()}
         basis_dev = {n: jnp.asarray(imdct_basis(n, np.float32)) for n in sizes}
 
+        # residue symbol mode (group-uniform via the group key); buckets are
+        # keyed by block size, so it requires one residue plan per size
+        from nvorbis_tpu.synth.residue_sym import (
+            plan_static, plan_tables_dev,
+        )
+
+        sym_plans = getattr(members[0].native, "sym_plans", None)
+        self._sym = sym_plans is not None
+        self._sym_info = {}
+        if self._sym:
+            for n in sizes:
+                plans_for_n = {
+                    id(setup0.residues[m.mapping.submap_residue[0]])
+                    for m in setup0.modes if m.block_size == n
+                }
+                if len(plans_for_n) != 1:
+                    self._sym = False
+                    break
+            if self._sym:
+                for m in setup0.modes:
+                    n = m.block_size
+                    if n in self._sym_info:
+                        continue
+                    plan = sym_plans[
+                        id(setup0.residues[m.mapping.submap_residue[0]])
+                    ]
+                    self._sym_info[n] = (
+                        plan_static(plan, n), plan_tables_dev(plan)
+                    )
+
         self._stream_slot = {id(st): i for i, st in enumerate(members)}
         active = list(members)
         pending = None  # finish callable of the in-flight chunk
@@ -260,6 +334,8 @@ class BatchDecoder:
         """
         frames = []  # (stream, row-local arrays index)
         residues = []
+        classes_l = []
+        ids_l = []
         yss = []
         useds = []
         hfs = []
@@ -297,7 +373,15 @@ class BatchDecoder:
                 continue
             got_any = True
             budget -= len(packets)
-            residue, ys, used, has_floor, meta = st.native.unpack(raw)
+            if self._sym:
+                classes, ids, ys, used, has_floor, meta = (
+                    st.native.unpack_sym(raw)
+                )
+                classes_l.append(classes)
+                ids_l.append(ids)
+                residue = None
+            else:
+                residue, ys, used, has_floor, meta = st.native.unpack(raw)
             setup = dec._setup
             for i, p in enumerate(packets):
                 ok = meta[i, 0] == 1
@@ -328,7 +412,8 @@ class BatchDecoder:
                     )
                 p.done()
                 plans.append((st, plan, meta[i].copy()))
-            residues.append(residue)
+            if not self._sym:
+                residues.append(residue)
             yss.append(ys)
             useds.append(used)
             hfs.append(has_floor)
@@ -336,13 +421,19 @@ class BatchDecoder:
             stream_of.extend([st] * len(packets))
         if not got_any:
             return None
-        return {
-            "residue": np.concatenate(residues),
+        chunk = {
             "ys": self._pad_cat(yss, P),
             "used": self._pad_cat(useds, P),
             "has_floor": np.concatenate(hfs),
             "plans": plans,
         }
+        if self._sym:
+            chunk["classes"] = np.concatenate(classes_l)
+            chunk["ids"] = np.concatenate(ids_l)
+            chunk["meta"] = np.concatenate(metas)
+        else:
+            chunk["residue"] = np.concatenate(residues)
+        return chunk
 
     @staticmethod
     def _pad_cat(arrs, P):
@@ -390,7 +481,20 @@ class BatchDecoder:
                   if setup0.modes[st.carry[0]["meta"][1]].block_size == n]
             B = len(rows) + len(cs)
             B_pad = _bucket_size(B)
-            res_b = np.zeros((B_pad, C, n2), dtype=np.float32)
+            if self._sym:
+                from nvorbis_tpu.synth.residue_sym import (
+                    CLASS_SENTINEL, round_ids,
+                )
+
+                st_geom, tabs = self._sym_info[n]
+                n_part, chr_c = st_geom[2], st_geom[3]
+                cls_b = np.full((B_pad, chr_c, max(1, n_part)),
+                                CLASS_SENTINEL, dtype=np.uint8)
+                base_b = np.zeros(B_pad, dtype=np.int32)
+                id_parts = []
+                pos = 0
+            else:
+                res_b = np.zeros((B_pad, C, n2), dtype=np.float32)
             ys_b = np.zeros((B_pad, C, P), dtype=np.int32)
             used_b = np.zeros((B_pad, C, P), dtype=bool)
             hf_b = np.zeros((B_pad, C), dtype=bool)
@@ -400,7 +504,13 @@ class BatchDecoder:
             j = 0
             for st in cs:
                 crow, cplan = st.carry
-                res_b[j] = crow["residue"][:, :n2]
+                if self._sym:
+                    cls_b[j, :, :n_part] = crow["classes"][:chr_c, :n_part]
+                    base_b[j] = pos
+                    id_parts.append(crow["ids"])
+                    pos += len(crow["ids"])
+                else:
+                    res_b[j] = crow["residue"][:, :n2]
                 ys_b[j, :, : crow["ys"].shape[1]] = crow["ys"]
                 used_b[j, :, : crow["used"].shape[1]] = crow["used"]
                 hf_b[j] = crow["has_floor"]
@@ -409,7 +519,16 @@ class BatchDecoder:
                 carry_rows[id(st)] = row_base + j
                 j += 1
             for row, st, plan, meta in rows:
-                res_b[j] = chunk["residue"][row, :, :n2]
+                if self._sym:
+                    cls_b[j, :, :n_part] = (
+                        chunk["classes"][row, :chr_c, :n_part]
+                    )
+                    base_b[j] = pos
+                    cnt = int(meta[5])
+                    id_parts.append(chunk["ids"][row, :cnt])
+                    pos += cnt
+                else:
+                    res_b[j] = chunk["residue"][row, :, :n2]
                 ys_b[j] = chunk["ys"][row]
                 used_b[j] = chunk["used"][row]
                 hf_b[j] = chunk["has_floor"][row]
@@ -432,12 +551,30 @@ class BatchDecoder:
                     cpl = tuple(zip(m.mapping.coupling_mag,
                                     m.mapping.coupling_ang))
                     break
-            cfg_buckets.append((B_pad, n, P, W, T, cpl))
-            args.extend([
-                jnp.asarray(res_b), jnp.asarray(ys_b), jnp.asarray(used_b),
-                jnp.asarray(hf_b), jnp.asarray(widx_b), jnp.asarray(tid_b),
-                xs_dev[n], win_dev[n], basis_dev[n], sl_dev[n],
-            ])
+            if self._sym:
+                N_pad = round_ids(pos)
+                flat = np.full(N_pad, -1, dtype=np.int32)
+                if pos:
+                    flat[:pos] = np.concatenate(id_parts).astype(np.int32)
+                cfg_buckets.append(("s", B_pad, n, P, W, T, cpl, st_geom,
+                                    N_pad))
+                args.extend([
+                    jnp.asarray(cls_b.astype(np.int32)), jnp.asarray(flat),
+                    jnp.asarray(base_b),
+                    jnp.asarray(ys_b), jnp.asarray(used_b),
+                    jnp.asarray(hf_b), jnp.asarray(widx_b),
+                    jnp.asarray(tid_b),
+                    xs_dev[n], win_dev[n], basis_dev[n], sl_dev[n], *tabs,
+                ])
+            else:
+                cfg_buckets.append(("d", B_pad, n, P, W, T, cpl))
+                args.extend([
+                    jnp.asarray(res_b), jnp.asarray(ys_b),
+                    jnp.asarray(used_b),
+                    jnp.asarray(hf_b), jnp.asarray(widx_b),
+                    jnp.asarray(tid_b),
+                    xs_dev[n], win_dev[n], basis_dev[n], sl_dev[n],
+                ])
             row_base += B_pad
 
         # --- per-stream segment tables laid out consecutively -------------
@@ -504,17 +641,19 @@ class BatchDecoder:
             if last_good is not None:
                 plan, meta = last_good
                 k = chunk_row_of[id(plan)]
-                st.carry = (
-                    {
-                        "residue": chunk["residue"][k].copy(),
-                        "ys": chunk["ys"][k].copy(),
-                        "used": chunk["used"][k].copy(),
-                        "has_floor": chunk["has_floor"][k].copy(),
-                        "meta": meta,
-                        "tid": self._stream_slot[sid] * n_modes + int(meta[1]),
-                    },
-                    plan,
-                )
+                crow = {
+                    "ys": chunk["ys"][k].copy(),
+                    "used": chunk["used"][k].copy(),
+                    "has_floor": chunk["has_floor"][k].copy(),
+                    "meta": meta,
+                    "tid": self._stream_slot[sid] * n_modes + int(meta[1]),
+                }
+                if self._sym:
+                    crow["classes"] = chunk["classes"][k].copy()
+                    crow["ids"] = chunk["ids"][k, : int(meta[5])].copy()
+                else:
+                    crow["residue"] = chunk["residue"][k].copy()
+                st.carry = (crow, plan)
             st.chunk_base = st.planner.emitted
 
         L_real = out_off
