@@ -424,7 +424,7 @@ class BulkDecoder:
             B = len(rows) + extra
             B_pad = synth._bucket(B)
 
-            ys_b = np.zeros((B_pad, C, ys.shape[2]), dtype=np.int32)
+            ys_b = np.zeros((B_pad, C, ys.shape[2]), dtype=np.int16)
             used_b = np.zeros((B_pad, C, used.shape[2]), dtype=bool)
             hf_b = np.zeros((B_pad, C), dtype=bool)
             widx_b = np.zeros(B_pad, dtype=np.int32)
@@ -481,9 +481,9 @@ class BulkDecoder:
 
             if self._sym:
                 N_pad = round_ids(pos)
-                flat = np.full(N_pad, -1, dtype=np.int32)
+                flat = np.full(N_pad, -1, dtype=np.int16)
                 if pos:
-                    flat[:pos] = np.concatenate(id_parts).astype(np.int32)
+                    flat[:pos] = np.concatenate(id_parts).astype(np.int16)
                 cfg_buckets.append(
                     ("s", B_pad, n, synth.coupling_steps, st, N_pad)
                 )

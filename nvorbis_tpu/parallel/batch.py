@@ -495,7 +495,7 @@ class BatchDecoder:
                 pos = 0
             else:
                 res_b = np.zeros((B_pad, C, n2), dtype=np.float32)
-            ys_b = np.zeros((B_pad, C, P), dtype=np.int32)
+            ys_b = np.zeros((B_pad, C, P), dtype=np.int16)
             used_b = np.zeros((B_pad, C, P), dtype=bool)
             hf_b = np.zeros((B_pad, C), dtype=bool)
             widx_b = np.zeros(B_pad, dtype=np.int32)
@@ -553,9 +553,9 @@ class BatchDecoder:
                     break
             if self._sym:
                 N_pad = round_ids(pos)
-                flat = np.full(N_pad, -1, dtype=np.int32)
+                flat = np.full(N_pad, -1, dtype=np.int16)
                 if pos:
-                    flat[:pos] = np.concatenate(id_parts).astype(np.int32)
+                    flat[:pos] = np.concatenate(id_parts).astype(np.int16)
                 cfg_buckets.append(("s", B_pad, n, P, W, T, cpl, st_geom,
                                     N_pad))
                 args.extend([

@@ -71,21 +71,27 @@ def _render_floor1_curves(xs, ys, used, has_floor, idb_table, n2, sl=None):
     alters the final segment's slope; reproduced).
     """
     B, C, P = ys.shape
+    ys = ys.astype(jnp.int32)
     if xs.ndim == 2:
         xs = jnp.broadcast_to(xs[None], (B, C, P))
     else:
         xs = jnp.broadcast_to(xs, (B, C, P))
 
-    # Each post packs into a single ordered key ``(x << 9) | y`` (post X
-    # fits 15 bits, Y fits 8 — rangebits <= 15 and range <= 256 per the
-    # setup grammar), so per bin:
+    # Each post packs into a single ordered key ``(x << 9) | (y + 128)``
+    # (post X fits 15 bits; multiplied post Y lies in [-126, 381] — the
+    # range-86/multiplier-3 configuration can go negative and the raw root
+    # posts can exceed the range — so a +128 bias keeps the field in
+    # [2, 509], 9 bits).  Per bin:
     #   left  neighbor = max key over used posts with x <= bin
     #   right neighbor = min key over used posts with x >  bin
     # and (x, y) unpack by shift/mask.  Posts at/after n2 still participate
     # as right neighbors (the reference clips X at n2 mid-segment, not the
     # post list).  Padded slots (xs == _XS_PAD) are masked via ``used``.
     _NO_RIGHT = jnp.int32(1 << 30)
-    raw_keys = (jnp.clip(xs, 0, (1 << 15) - 1) << 9) | jnp.clip(ys, 0, 255)
+    _Y_BIAS = 128
+    raw_keys = (jnp.clip(xs, 0, (1 << 15) - 1) << 9) | jnp.clip(
+        ys + _Y_BIAS, 0, 511
+    )
     lkeys = jnp.where(used, raw_keys, -1)
     rkeys = jnp.where(used, raw_keys, _NO_RIGHT)
 
@@ -128,9 +134,9 @@ def _render_floor1_curves(xs, ys, used, has_floor, idb_table, n2, sl=None):
     has_right = rkey < _NO_RIGHT
 
     lx = lkey >> 9
-    ly = lkey & 511
+    ly = (lkey & 511) - _Y_BIAS
     hx = rkey >> 9
-    hy = rkey & 511
+    hy = (rkey & 511) - _Y_BIAS
 
     dy = hy - ly
     adx = jnp.minimum(hx, n2) - lx

@@ -206,7 +206,9 @@ def reconstruct_spectrum(classes, ids_flat, frame_base, tabs, st, channels):
             e = pe & 0xFFFF
             sb = jnp.take(prefix[:, s], jnp.asarray(part_idx), axis=2)
             slot = frame_base[:, None, None] + sb + g
-            idv = jnp.take(ids_flat, jnp.clip(slot, 0, n_ids - 1))
+            idv = jnp.take(ids_flat, jnp.clip(slot, 0, n_ids - 1)).astype(
+                jnp.int32
+            )
             live = live & (idv >= 0)
             vb = jnp.take(vqb_t, cls_safe * S + s)
             dm = jnp.take(dims_t, cls_safe * S + s)
