@@ -18,6 +18,16 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 SRC_FIXTURE = "/root/reference/TestFiles/3test.ogg"
 CACHE_DIR = "/root/repo/.benchcache"
 REPEATS = 64  # ~7 minutes of stereo 44.1 kHz audio
@@ -55,6 +65,7 @@ def decode_batch(raws):
 
 
 def main():
+    _enable_compile_cache()
     engine = "oracle" if "--oracle" in sys.argv else "jax"
     raw = open(get_fixture(), "rb").read()
 

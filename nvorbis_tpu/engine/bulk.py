@@ -341,10 +341,11 @@ class BulkDecoder:
                 residue, ys, used, has_floor, meta, plans, carry, chunk_base,
                 planner.emitted,
             )
-            # resolve the previous chunk's in-flight fetch now that this
-            # chunk is dispatched (device + link work overlap host unpack)
-            if len(out_chunks) > 0 and callable(out_chunks[-1][0]):
-                out_chunks[-1] = (out_chunks[-1][0](), out_chunks[-1][1])
+            # resolve older in-flight fetches, keeping two chunks in flight
+            # so upload/compute of this chunk overlaps the previous fetch
+            # while the host unpacks the next
+            if len(out_chunks) > 1 and callable(out_chunks[-2][0]):
+                out_chunks[-2] = (out_chunks[-2][0](), out_chunks[-2][1])
             out_chunks.append((finish, planner.emitted))
 
             # carry the last good frame into the next chunk (its tail may

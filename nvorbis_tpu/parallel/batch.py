@@ -305,19 +305,24 @@ class BatchDecoder:
 
         self._stream_slot = {id(st): i for i, st in enumerate(members)}
         active = list(members)
-        pending = None  # finish callable of the in-flight chunk
+        # two chunks in flight: upload/compute of chunk k overlaps the
+        # device->host fetch of chunk k-2 while the host unpacks k+1
+        from collections import deque
+
+        pending = deque()
         while active:
             chunk = self._collect_chunk(active, P, n_modes)
             if chunk is None:
                 break
-            finish = self._dispatch(chunk, C, P, setup0,
-                                    xs_dev, win_dev, basis_dev, sl_dev)
-            if pending is not None:
-                pending()
-            pending = finish
+            pending.append(
+                self._dispatch(chunk, C, P, setup0,
+                               xs_dev, win_dev, basis_dev, sl_dev)
+            )
+            while len(pending) > 2:
+                pending.popleft()()
             active = [st for st in active if not st.done]
-        if pending is not None:
-            pending()
+        while pending:
+            pending.popleft()()
 
         for st in members:
             dec = st.decoder
