@@ -71,6 +71,8 @@ def load():
                 ctypes.c_void_p,  # meta
                 ctypes.c_int32,   # n_threads
             ]
+            lib.nvt_crc32.restype = ctypes.c_uint32
+            lib.nvt_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
             lib.nvt_unpack_window_sym.argtypes = [
                 ctypes.c_void_p,  # setup
                 ctypes.c_void_p,  # bytes

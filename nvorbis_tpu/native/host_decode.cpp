@@ -775,6 +775,26 @@ void nvt_unpack_window(void* setup, const uint8_t* bytes,
   for (auto& th : threads) th.join();
 }
 
+// Ogg CRC-32 (poly 0x04c11db7, non-reflected, init 0) — table-driven.
+// Reference semantics: NVorbis/Ogg/Crc.cs:3-43.
+uint32_t nvt_crc32(const uint8_t* data, int64_t n) {
+  static uint32_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i << 24;
+      for (int k = 0; k < 8; ++k)
+        c = (c & 0x80000000u) ? (c << 1) ^ 0x04c11db7u : (c << 1);
+      table[i] = c;
+    }
+    init = true;
+  }
+  uint32_t crc = 0;
+  for (int64_t i = 0; i < n; ++i)
+    crc = (crc << 8) ^ table[data[i] ^ (crc >> 24)];
+  return crc;
+}
+
 // Symbol-mode window unpack: residues come back as per-partition classes +
 // canonically-laid-out codebook entry ids (see residue symbol emission
 // above) instead of dense float spectra — an order-of-magnitude smaller

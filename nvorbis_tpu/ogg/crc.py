@@ -76,8 +76,31 @@ def _apply_shift(v: np.ndarray, level: int) -> np.ndarray:
     )
 
 
+_native_crc = None
+_native_checked = False
+
+
 def crc32(data) -> int:
-    """Compute the Ogg CRC over ``data`` (bytes / bytearray / uint8 array)."""
+    """Compute the Ogg CRC over ``data`` (bytes / bytearray / uint8 array).
+
+    Uses the C++ core's table-driven loop when available (the Python page
+    scanner calls this once per page; at high stream counts the numpy tree
+    fallback's per-call overhead shows up), else the vectorized numpy
+    fold."""
+    global _native_crc, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from nvorbis_tpu import native as _nat
+
+            lib = _nat.load()
+            if lib is not None:
+                _native_crc = lib.nvt_crc32
+        except Exception:
+            _native_crc = None
+    if _native_crc is not None:
+        b = bytes(data)
+        return int(_native_crc(b, len(b)))
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
     n = buf.shape[0]
     if n == 0:

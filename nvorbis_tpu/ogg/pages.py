@@ -37,6 +37,7 @@ class RawPage:
         "buf",
         "offset",
         "is_resync",
+        "_packets",
         "flags",
         "granule_pos",
         "serial",
@@ -76,6 +77,7 @@ class RawPage:
         self.packet_count = pkt_cnt
         self.is_continued = is_continued
         self.overhead = 27 + segcnt
+        self._packets = None  # lazy memo of packets()
 
     @property
     def is_eos(self) -> bool:
@@ -90,10 +92,13 @@ class RawPage:
         return (self.flags & FLAG_CONTINUES_PACKET) != 0
 
     def packets(self):
-        """Return the page's packet payloads as a list of bytes.
+        """Return the page's packet payloads as a list of bytes (memoized —
+        providers re-consult the same page once per packet).
 
         The final entry is a partial packet when ``is_continued``.
         """
+        if self._packets is not None:
+            return self._packets
         lacing = self.buf[27 : 27 + self.seg_count]
         base = 27 + self.seg_count
         out = []
@@ -108,6 +113,7 @@ class RawPage:
                 size = 0
         if size > 0:
             out.append(self.buf[base + pos : base + pos + size])
+        self._packets = out
         return out
 
 
