@@ -24,6 +24,19 @@ class NewStreamEventArgs:
         self.ignore_stream = False
 
 
+class ParameterChangeEventArgs:
+    """Legacy event payload (channel/rate change mid-stream); the current
+    design surfaces a *new stream* instead, matching the reference which
+    carries this type only for 0.9-era API compatibility.
+
+    Reference: NVorbis/Contracts/ParameterChangeEventArgs.cs:8-30.
+    """
+
+    def __init__(self, channels=None, sample_rate=None):
+        self.channels = channels
+        self.sample_rate = sample_rate
+
+
 class VorbisReader:
     def __init__(self, source, close_on_dispose: bool = True, engine: str = "auto"):
         """Open ``source`` (file path, bytes, or binary file-like)."""
