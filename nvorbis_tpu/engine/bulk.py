@@ -464,21 +464,33 @@ class BulkDecoder:
                 widx_b[0] = crow["meta"][2]
                 carry_row = row_base
                 j = 1
-            for i in rows:
+            # bulk-gather frame rows (fancy indexing beats a per-frame loop)
+            if rows:
+                R = len(rows)
+                ridx = np.asarray(rows, dtype=np.int64)
+                dst = slice(j, j + R)
+                ys_b[dst] = ys[ridx]
+                used_b[dst] = used[ridx]
+                hf_b[dst] = has_floor[ridx]
+                widx_b[dst] = meta[ridx, 2]
                 if self._sym:
-                    cls_b[j, :, :n_part] = classes_w[i, :chr_c, :n_part]
-                    base_b[j] = pos
-                    cnt = int(meta[i, 5])
-                    id_parts.append(ids_w[i, :cnt])
-                    pos += cnt
+                    cls_b[dst, :, :n_part] = (
+                        classes_w[ridx][:, :chr_c, :n_part]
+                    )
+                    counts = meta[ridx, 5].astype(np.int64)
+                    base_b[dst] = pos + np.concatenate(
+                        [[0], np.cumsum(counts)[:-1]]
+                    )
+                    sub = ids_w[ridx]
+                    keep = (np.arange(sub.shape[1])[None, :]
+                            < counts[:, None])
+                    id_parts.append(sub[keep])
+                    pos += int(counts.sum())
                 else:
-                    res_b[j] = residue[i, :, :n2]
-                ys_b[j] = ys[i]
-                used_b[j] = used[i]
-                hf_b[j] = has_floor[i]
-                widx_b[j] = meta[i, 2]
-                row_of[i] = row_base + j
-                j += 1
+                    res_b[dst] = residue[ridx][:, :, :n2]
+                for k, i in enumerate(rows):
+                    row_of[i] = row_base + j + k
+                j += R
 
             if self._sym:
                 N_pad = round_ids(pos)

@@ -523,25 +523,41 @@ class BatchDecoder:
                 tid_b[j] = crow["tid"]
                 carry_rows[id(st)] = row_base + j
                 j += 1
-            for row, st, plan, meta in rows:
+            # bulk-gather the frame rows (one fancy-index op per tensor —
+            # a per-frame python loop costs ~1s/chunk at 8k frames)
+            if rows:
+                R = len(rows)
+                ridx = np.fromiter((r[0] for r in rows), dtype=np.int64,
+                                   count=R)
+                metas_r = np.stack([r[3] for r in rows])
+                dst = slice(j, j + R)
+                ys_b[dst] = chunk["ys"][ridx]
+                used_b[dst] = chunk["used"][ridx]
+                hf_b[dst] = chunk["has_floor"][ridx]
+                widx_b[dst] = metas_r[:, 2]
+                si_arr = np.fromiter(
+                    (self._stream_slot[id(r[1])] for r in rows),
+                    dtype=np.int64, count=R,
+                )
+                tid_b[dst] = si_arr * n_modes + metas_r[:, 1]
                 if self._sym:
-                    cls_b[j, :, :n_part] = (
-                        chunk["classes"][row, :chr_c, :n_part]
+                    cls_b[dst, :, :n_part] = (
+                        chunk["classes"][ridx][:, :chr_c, :n_part]
                     )
-                    base_b[j] = pos
-                    cnt = int(meta[5])
-                    id_parts.append(chunk["ids"][row, :cnt])
-                    pos += cnt
+                    counts = metas_r[:, 5].astype(np.int64)
+                    base_b[dst] = pos + np.concatenate(
+                        [[0], np.cumsum(counts)[:-1]]
+                    )
+                    sub = chunk["ids"][ridx]
+                    keep = (np.arange(sub.shape[1])[None, :]
+                            < counts[:, None])
+                    id_parts.append(sub[keep])
+                    pos += int(counts.sum())
                 else:
-                    res_b[j] = chunk["residue"][row, :, :n2]
-                ys_b[j] = chunk["ys"][row]
-                used_b[j] = chunk["used"][row]
-                hf_b[j] = chunk["has_floor"][row]
-                widx_b[j] = meta[2]
-                si = self._stream_slot[id(st)]
-                tid_b[j] = si * n_modes + meta[1]
-                global_row[(id(st), id(plan))] = row_base + j
-                j += 1
+                    res_b[dst] = chunk["residue"][ridx][:, :, :n2]
+                for k, (row, st, plan, meta) in enumerate(rows):
+                    global_row[(id(st), id(plan))] = row_base + j + k
+                j += R
 
             W = win_dev[n].shape[1]
             T = win_dev[n].shape[0]
