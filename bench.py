@@ -69,11 +69,13 @@ def main():
     engine = "oracle" if "--oracle" in sys.argv else "jax"
     raw = open(get_fixture(), "rb").read()
 
-    # warmup populates jit + persistent compilation caches
+    # warmup populates jit + persistent compilation caches; the batch path
+    # warms on the *measured* input so chunk shapes (and therefore every
+    # compiled program) are identical in the timed reps
     if engine == "oracle":
         decode_once(open(SRC_FIXTURE, "rb").read(), engine)
     else:
-        decode_batch([open(SRC_FIXTURE, "rb").read()] * N_STREAMS)
+        decode_batch([raw] * N_STREAMS)
 
     reps = 2
     best = 0.0

@@ -13,7 +13,7 @@ spec-compliance notes documented in codec/residue.py.
 
 import numpy as np
 
-from nvorbis_tpu.codec.floor import Floor1, Floor1Data
+from nvorbis_tpu.codec.floor import Floor1
 
 
 class FrameSpec:

@@ -5,7 +5,7 @@ Reference: NVorbis/StreamDecoder.cs LoadStreamHeader (179-204), LoadComments
 (206-224), LoadBooks (226-289); type dispatch per NVorbis/Factory.cs.
 """
 
-from nvorbis_tpu.errors import InvalidDataError, InvalidStreamError
+from nvorbis_tpu.errors import InvalidDataError
 from nvorbis_tpu.utils.bitmath import ilog
 from nvorbis_tpu.codec.codebook import Codebook
 from nvorbis_tpu.codec.floor import Floor0, Floor1

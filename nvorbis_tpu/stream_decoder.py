@@ -11,7 +11,6 @@ fused TPU programs (see nvorbis_tpu/engine/batcher.py); ``engine="auto"``
 picks jax when a device program is available.
 """
 
-import math
 
 import numpy as np
 

@@ -10,8 +10,6 @@ bitstream-legal: audio packets only couple through the overlap-add window).
 
 import struct
 
-import numpy as np
-
 from nvorbis_tpu.ogg.crc import crc32
 
 

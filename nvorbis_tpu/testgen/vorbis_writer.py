@@ -13,8 +13,6 @@ tests are reproducible.  Encoded packets round-trip through the real decoder
 without shipping binary fixtures.
 """
 
-import numpy as np
-
 from nvorbis_tpu.codec.codebook import compute_codewords
 from nvorbis_tpu.utils.bitmath import ilog
 from nvorbis_tpu.testgen.ogg_writer import paginate
