@@ -100,6 +100,45 @@ def make_chained_stream(src_path, links, out_path, repeats=1):
     return out_path, samples
 
 
+def split_pages(blob: bytes):
+    """Split a well-formed Ogg byte stream into its pages."""
+    pages = []
+    pos = 0
+    while pos < len(blob):
+        assert blob[pos : pos + 4] == b"OggS", "not at a page boundary"
+        seg_count = blob[pos + 26]
+        lacing = blob[pos + 27 : pos + 27 + seg_count]
+        size = 27 + seg_count + sum(lacing)
+        pages.append(blob[pos : pos + size])
+        pos += size
+    return pages
+
+
+def interleave_streams(*blobs):
+    """Interleave the pages of several single-stream Oggs into one
+    multiplexed physical stream (grouped multiplexing: all BOS pages first,
+    per the Ogg spec; distinct serials required).
+
+    This is the *multiplexed* (concurrent) layout, as opposed to the
+    *chained* layout of make_chained_stream — the reference surfaces each
+    serial as its own IStreamDecoder (NVorbis/VorbisReader.cs:74-87).
+    """
+    paged = [split_pages(b) for b in blobs]
+    out = bytearray()
+    for pages in paged:  # BOS pages first
+        out += pages[0]
+    idx = [1] * len(paged)
+    remaining = True
+    while remaining:
+        remaining = False
+        for k, pages in enumerate(paged):
+            if idx[k] < len(pages):
+                out += pages[idx[k]]
+                idx[k] += 1
+                remaining = True
+    return bytes(out)
+
+
 def make_long_stream(src_path, repeats, out_path, serial=0x6E567462):
     """Create a long single-stream Ogg by repeating a fixture's audio packets.
 
