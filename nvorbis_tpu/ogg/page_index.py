@@ -43,6 +43,7 @@ class StreamPageIndex:
         self.has_all_pages = False
         self._raw_cache = {}  # page index -> RawPage
         self._cache_order = []
+        self._rec_cache = {}  # page index -> PageRecord (bounded)
 
     # -- page ingestion (called by the physical reader) ---------------------
 
@@ -111,7 +112,11 @@ class StreamPageIndex:
     def get_page(self, page_index: int):
         """Return the PageRecord for ``page_index`` (reading forward as
         needed), or None.  Reference: StreamPageReader.GetPage
-        (StreamPageReader.cs:292-367)."""
+        (StreamPageReader.cs:292-367).  Records are memoized — the packet
+        iterator consults the same page once per packet."""
+        rec = self._rec_cache.get(page_index)
+        if rec is not None:
+            return rec
         while page_index >= len(self._offsets) and not self.has_all_pages:
             if not self._reader.read_next_page():
                 break
@@ -120,7 +125,7 @@ class StreamPageIndex:
         raw = self._get_raw(page_index)
         if raw is None:
             return None
-        return PageRecord(
+        rec = PageRecord(
             granule_pos=raw.granule_pos,
             is_resync=self._offsets[page_index] < 0,
             is_continuation=raw.is_continuation,
@@ -128,6 +133,10 @@ class StreamPageIndex:
             packet_count=raw.packet_count,
             overhead=raw.overhead,
         )
+        self._rec_cache[page_index] = rec
+        if len(self._rec_cache) > 64:
+            self._rec_cache.pop(next(iter(self._rec_cache)))
+        return rec
 
     def get_page_packets(self, page_index: int):
         raw = self._get_raw(page_index)
