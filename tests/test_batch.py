@@ -62,3 +62,22 @@ def test_batch_updates_stream_stats_and_position():
     st = bd._streams[0]
     assert st.decoder.sample_position == len(o) // 2
     assert st.decoder._stats.packet_count > 0
+
+
+def test_batch_sixteen_streams():
+    """Scale check: 16 co-batched streams (mixed fixtures) stay per-stream
+    exact — exercises slot/table stacking and the shared-cap chunking."""
+    import numpy as np
+    import nvorbis_tpu as nv
+    from nvorbis_tpu.parallel.batch import BatchDecoder
+    from tests.conftest import fixture_path
+
+    names = (["1test.ogg", "2test.ogg", "3test.ogg", "issue6test.ogg"] * 4)
+    raws = [open(fixture_path(n), "rb").read() for n in names]
+    outs = BatchDecoder(raws).decode_all()
+    refs = {}
+    for n, got in zip(names, outs):
+        if n not in refs:
+            refs[n] = nv.VorbisReader(fixture_path(n), engine="oracle").read_all()
+        assert len(got) == len(refs[n])
+        assert float(np.abs(got - refs[n]).max()) <= 2e-6

@@ -86,3 +86,13 @@ def test_seek_jax_engine_matches_oracle():
         nb = b.read_samples(bb)
         assert na == nb
         assert float(np.abs(ba[:na] - bb[:nb]).max()) <= 2e-6
+
+
+def test_forward_only_jax_engine():
+    """Non-seekable source through the batched device engine."""
+    spec = make_simple_spec(channels=2, residue_type=2)
+    blob = spec.build_stream(np.random.default_rng(46), 30)
+    ref = nv.VorbisReader(blob, engine="oracle").read_all()
+    got = nv.VorbisReader(_ForwardOnly(blob), engine="jax").read_all()
+    assert len(got) == len(ref)
+    assert float(np.abs(got - ref).max()) <= 2e-6
