@@ -1,0 +1,98 @@
+"""Pallas TPU kernel: IMDCT-as-matmul with the Vorbis lapping window fused
+into the epilogue.
+
+The synthesis hot loop is ``pcm[b,c,:] = (spectrum[b,c,:] @ basis) *
+window[widx[b]]`` (NVorbis/Mdct.cs:65-313 + Mode.cs:159-166 semantics, with
+the IMDCT expressed as a dense ``[n/2, n]`` cosine basis).  XLA already maps
+this onto the MXU; this kernel exists to (a) pin the fusion — the window
+multiply happens in VMEM on the accumulator tile before the single HBM
+write-back, and (b) serve as the tuning point for on-chip experiments.
+
+Grid: ``(M/bm, N/bn, K/bk)`` with the contraction innermost ("arbitrary"),
+accumulating in a float32 VMEM scratch.  The per-row window select is an
+MXU-friendly one-hot matmul (``W <= 4`` windows), not a gather.
+
+Numerics: float32 accumulation in K-major order — within 1e-6 of
+``jnp.dot(..., precision=HIGHEST)`` but not bit-identical to it (tile-order
+float sums differ); the decode engines keep the XLA matmul as the default
+until on-chip profiling justifies switching.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(widx_ref, spec_ref, basis_ref, win_ref, out_ref, acc_ref, *,
+            n_k, bm, bn):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        spec_ref[:], basis_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        # fused window: one-hot select of each row's window (W is tiny)
+        W = win_ref.shape[0]
+        widx = widx_ref[:]  # [bm] int32
+        onehot = (
+            widx[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bm, W), 1)
+        ).astype(jnp.float32)
+        win = jnp.dot(onehot, win_ref[:],
+                      preferred_element_type=jnp.float32)  # [bm, bn]
+        out_ref[:] = acc_ref[:] * win
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bm", "bn", "bk", "interpret")
+)
+def imdct_window_pallas(spectrum, basis, windows, widx,
+                        bm=128, bn=512, bk=512, interpret=False):
+    """Windowed IMDCT: ``[(rows, n2) @ (n2, n)] * windows[widx]``.
+
+    spectrum ``[rows, n2]`` f32 (rows = flattened (frame, channel), padded to
+    a multiple of ``bm`` by the caller or here), basis ``[n2, n]``, windows
+    ``[W, n]``, widx ``[rows]`` int32 (per-row window index).  Returns
+    ``[rows, n]`` f32.
+    """
+    rows, n2 = spectrum.shape
+    n = basis.shape[1]
+    bm = min(bm, max(8, rows))
+    bn = min(bn, n)
+    bk = min(bk, n2)
+    pad_m = (-rows) % bm
+    if pad_m:
+        spectrum = jnp.pad(spectrum, [(0, pad_m), (0, 0)])
+        widx = jnp.pad(widx, [(0, pad_m)])
+    M = spectrum.shape[0]
+    n_k = n2 // bk
+    assert n2 % bk == 0 and n % bn == 0, "block sizes must divide shapes"
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_k=n_k, bm=bm, bn=bn),
+        grid=(M // bm, n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm,), lambda i, j, k: (i,)),            # widx
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),       # spectrum
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),       # basis
+            pl.BlockSpec((windows.shape[0], bn),
+                         lambda i, j, k: (0, j)),                 # windows
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(widx, spectrum, basis, windows)
+    return out[:rows]
