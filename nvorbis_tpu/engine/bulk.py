@@ -294,13 +294,18 @@ class BulkDecoder:
             if not packets:
                 break
 
-            if self._sym:
-                classes, ids, ys, used, has_floor, meta = (
-                    self._native.unpack_sym(raw)
-                )
-                residue = (classes, ids)
-            else:
-                residue, ys, used, has_floor, meta = self._native.unpack(raw)
+            from nvorbis_tpu.utils.profiling import span
+
+            with span("bulk.unpack"):
+                if self._sym:
+                    classes, ids, ys, used, has_floor, meta = (
+                        self._native.unpack_sym(raw)
+                    )
+                    residue = (classes, ids)
+                else:
+                    residue, ys, used, has_floor, meta = (
+                        self._native.unpack(raw)
+                    )
             used = used.astype(bool)
             has_floor = has_floor.astype(bool)
 
@@ -337,15 +342,17 @@ class BulkDecoder:
                 p.done()
 
             chunk_base = out_chunks[-1][1] if out_chunks else 0
-            finish = self._dispatch_chunk(
-                residue, ys, used, has_floor, meta, plans, carry, chunk_base,
-                planner.emitted,
-            )
+            with span("bulk.dispatch"):
+                finish = self._dispatch_chunk(
+                    residue, ys, used, has_floor, meta, plans, carry,
+                    chunk_base, planner.emitted,
+                )
             # resolve older in-flight fetches, keeping two chunks in flight
             # so upload/compute of this chunk overlaps the previous fetch
             # while the host unpacks the next
             if len(out_chunks) > 1 and callable(out_chunks[-2][0]):
-                out_chunks[-2] = (out_chunks[-2][0](), out_chunks[-2][1])
+                with span("bulk.fetch"):
+                    out_chunks[-2] = (out_chunks[-2][0](), out_chunks[-2][1])
             out_chunks.append((finish, planner.emitted))
 
             # carry the last good frame into the next chunk (its tail may

@@ -309,20 +309,26 @@ class BatchDecoder:
         # device->host fetch of chunk k-2 while the host unpacks k+1
         from collections import deque
 
+        from nvorbis_tpu.utils.profiling import span
+
         pending = deque()
         while active:
-            chunk = self._collect_chunk(active, P, n_modes)
+            with span("batch.collect"):
+                chunk = self._collect_chunk(active, P, n_modes)
             if chunk is None:
                 break
-            pending.append(
-                self._dispatch(chunk, C, P, setup0,
-                               xs_dev, win_dev, basis_dev, sl_dev)
-            )
+            with span("batch.dispatch"):
+                pending.append(
+                    self._dispatch(chunk, C, P, setup0,
+                                   xs_dev, win_dev, basis_dev, sl_dev)
+                )
             while len(pending) > 2:
-                pending.popleft()()
+                with span("batch.fetch"):
+                    pending.popleft()()
             active = [st for st in active if not st.done]
         while pending:
-            pending.popleft()()
+            with span("batch.fetch"):
+                pending.popleft()()
 
         for st in members:
             dec = st.decoder
@@ -378,15 +384,20 @@ class BatchDecoder:
                 continue
             got_any = True
             budget -= len(packets)
-            if self._sym:
-                classes, ids, ys, used, has_floor, meta = (
-                    st.native.unpack_sym(raw)
-                )
-                classes_l.append(classes)
-                ids_l.append(ids)
-                residue = None
-            else:
-                residue, ys, used, has_floor, meta = st.native.unpack(raw)
+            from nvorbis_tpu.utils.profiling import span
+
+            with span("batch.unpack"):
+                if self._sym:
+                    classes, ids, ys, used, has_floor, meta = (
+                        st.native.unpack_sym(raw)
+                    )
+                    classes_l.append(classes)
+                    ids_l.append(ids)
+                    residue = None
+                else:
+                    residue, ys, used, has_floor, meta = (
+                        st.native.unpack(raw)
+                    )
             setup = dec._setup
             for i, p in enumerate(packets):
                 ok = meta[i, 0] == 1

@@ -98,3 +98,21 @@ def test_golden_regression():
     assert abs(rms - 0.00660) < 5e-4
     peak = float(np.max(np.abs(pcm)))
     assert abs(peak - 0.19063) < 5e-3
+
+
+def test_profiling_spans():
+    """NVT_TRACE span accounting around a batch decode."""
+    from nvorbis_tpu.utils import profiling
+    from nvorbis_tpu.parallel.batch import BatchDecoder
+
+    profiling.enable(True)
+    profiling.reset()
+    try:
+        BatchDecoder([open(fixture_path("1test.ogg"), "rb").read()]).decode_all()
+        snap = profiling.snapshot()
+        assert "batch.dispatch" in snap and snap["batch.dispatch"][1] >= 1
+        assert "batch.unpack" in snap
+        assert "total_s" in profiling.report()
+    finally:
+        profiling.enable(False)
+        profiling.reset()
