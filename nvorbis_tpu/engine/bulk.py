@@ -264,10 +264,15 @@ class BulkDecoder:
     def run(self):
         """Decode the remainder of the stream; returns interleaved float32
         (unclipped) or None when the bulk path cannot be used."""
+        from concurrent.futures import ThreadPoolExecutor
+
         dec = self._dec
         setup = dec._setup
         planner = StreamPlanner(dec._current_position)
         out_chunks = []
+        # one fetch worker: device->host transfers overlap the next chunk's
+        # host unpack + upload (see parallel/batch.py for the same pattern)
+        pool = ThreadPoolExecutor(max_workers=1)
 
         carry = None  # (rows dict, meta row, plan) of last good frame
         mfb = setup.mode_field_bits
@@ -347,13 +352,20 @@ class BulkDecoder:
                     residue, ys, used, has_floor, meta, plans, carry,
                     chunk_base, planner.emitted,
                 )
-            # resolve older in-flight fetches, keeping two chunks in flight
-            # so upload/compute of this chunk overlaps the previous fetch
-            # while the host unpacks the next
-            if len(out_chunks) > 1 and callable(out_chunks[-2][0]):
+
+            def _run(f=finish):
                 with span("bulk.fetch"):
-                    out_chunks[-2] = (out_chunks[-2][0](), out_chunks[-2][1])
-            out_chunks.append((finish, planner.emitted))
+                    return f() if callable(f) else f
+
+            out_chunks.append((pool.submit(_run), planner.emitted))
+            # bound in-flight fetches to two chunks
+            if len(out_chunks) > 2:
+                out_chunks[-3] = (
+                    out_chunks[-3][0].result()
+                    if hasattr(out_chunks[-3][0], "result")
+                    else out_chunks[-3][0],
+                    out_chunks[-3][1],
+                )
 
             # carry the last good frame into the next chunk (its tail may
             # still lap into samples emitted there)
@@ -384,11 +396,15 @@ class BulkDecoder:
         dec._current_position = planner.stream_pos0 + planner.emitted
         dec._has_position = planner.has_position
 
-        if not out_chunks:
-            return np.zeros(0, dtype=np.float32)
-        return np.concatenate(
-            [c[0]() if callable(c[0]) else c[0] for c in out_chunks]
-        )
+        try:
+            if not out_chunks:
+                return np.zeros(0, dtype=np.float32)
+            return np.concatenate([
+                c[0].result() if hasattr(c[0], "result") else c[0]
+                for c in out_chunks
+            ])
+        finally:
+            pool.shutdown(wait=False)
 
     def _dispatch_chunk(self, residue, ys, used, has_floor, meta, plans,
                         carry, chunk_base, chunk_end):

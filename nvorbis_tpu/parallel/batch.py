@@ -309,26 +309,34 @@ class BatchDecoder:
         # device->host fetch of chunk k-2 while the host unpacks k+1
         from collections import deque
 
+        from concurrent.futures import ThreadPoolExecutor
+
         from nvorbis_tpu.utils.profiling import span
 
+        # fetches run on one worker thread: the device->host transfer (the
+        # scarce resource through a tunnel) overlaps the next chunk's host
+        # unpack + upload.  A single worker keeps per-stream chunk order.
         pending = deque()
-        while active:
-            with span("batch.collect"):
-                chunk = self._collect_chunk(active, P, n_modes)
-            if chunk is None:
-                break
-            with span("batch.dispatch"):
-                pending.append(
-                    self._dispatch(chunk, C, P, setup0,
-                                   xs_dev, win_dev, basis_dev, sl_dev)
-                )
-            while len(pending) > 2:
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            def _run(finish):
                 with span("batch.fetch"):
-                    pending.popleft()()
-            active = [st for st in active if not st.done]
-        while pending:
-            with span("batch.fetch"):
-                pending.popleft()()
+                    finish()
+
+            while active:
+                with span("batch.collect"):
+                    chunk = self._collect_chunk(active, P, n_modes)
+                if chunk is None:
+                    break
+                with span("batch.dispatch"):
+                    finish = self._dispatch(chunk, C, P, setup0,
+                                            xs_dev, win_dev, basis_dev,
+                                            sl_dev)
+                pending.append(pool.submit(_run, finish))
+                while len(pending) > 2:
+                    pending.popleft().result()
+                active = [st for st in active if not st.done]
+            while pending:
+                pending.popleft().result()
 
         for st in members:
             dec = st.decoder
