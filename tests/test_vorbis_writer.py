@@ -208,3 +208,31 @@ def test_batch_decoder_on_synthetic_51():
         ref = nv.VorbisReader(blob, engine="oracle").read_all()
         assert len(got) == len(ref)
         assert float(np.abs(got - ref).max()) <= 2e-6
+
+
+def test_long_codewords_overflow_decode():
+    """Codes longer than the 10-bit prefix table exercise the overflow list
+    (NVorbis/Huffman.cs:9, Codebook.cs:294-320) in both the python and C++
+    decoders."""
+    from nvorbis_tpu.testgen.vorbis_writer import (
+        BookSpec, Floor1Spec, MappingSpec, ModeSpec, ResidueSpec, StreamSpec,
+    )
+
+    # complete Kraft code: lengths 1..13 + a second 13 (sum == 1); the
+    # 11-13 bit codes overflow MAX_TABLE_BITS=10
+    lengths = list(range(1, 14)) + [13]
+    long_book = BookSpec(1, 14, lengths=lengths)
+    post_book = BookSpec(1, 256)
+    classbook = BookSpec(2, 16)
+    vq_long = BookSpec(2, 14, lengths=lengths, map_type=2,
+                       min_value=-1.0, delta=0.125, value_bits=5)
+    books = [long_book, post_book, classbook, vq_long]
+    floor = Floor1Spec(post_book=long_book)  # 14 entries < range: valid vals
+    res = ResidueSpec(2, 0, 128, 16, 4, classbook,
+                      [[vq_long], [None], [vq_long], [None]])
+    mapping = MappingSpec(couplings=[(0, 1)])
+    spec = StreamSpec(2, 44100, 256, 2048, books, [floor], [res],
+                      [mapping], [ModeSpec(0), ModeSpec(1)])
+    rng = np.random.default_rng(81)
+    blob = spec.build_stream(rng, 30)
+    _decode_both(blob)
