@@ -187,7 +187,13 @@ class JaxPipeline:
         if not packets:
             return []
 
-        residue, ys, used, has_floor, meta = self._native.unpack(raw)
+        sym = getattr(self._native, "sym_plans", None) is not None
+        if sym:
+            classes_w, ids_w, ys, used, has_floor, meta = (
+                self._native.unpack_sym(raw)
+            )
+        else:
+            residue, ys, used, has_floor, meta = self._native.unpack(raw)
         used = used.astype(bool)
         has_floor = has_floor.astype(bool)
 
@@ -224,14 +230,36 @@ class JaxPipeline:
             n2 = synth.n2
             idx = np.asarray(rows)
             window_index = meta[idx, 2].astype(np.int32)
-            dev, count = synth.dispatch(
-                residue[idx][:, :, :n2],
-                ys[idx],
-                used[idx],
-                has_floor[idx],
-                window_index,
-                None,
-            )
+            if sym:
+                if not hasattr(synth, "_sym_static"):
+                    res_cfg = setup.residues[mode.mapping.submap_residue[0]]
+                    synth.attach_symbol_plan(
+                        self._native.sym_plans[id(res_cfg)]
+                    )
+                n_part, chr_c = synth._sym_static[2], synth._sym_static[3]
+                counts = meta[idx, 5].astype(np.int64)
+                base = np.concatenate(
+                    [[0], np.cumsum(counts)[:-1]]
+                ).astype(np.int32)
+                sub = ids_w[idx]
+                keep = np.arange(sub.shape[1])[None, :] < counts[:, None]
+                flat = sub[keep].astype(np.int16)
+                if flat.size == 0:
+                    flat = np.full(1, -1, dtype=np.int16)
+                dev, count = synth.dispatch_sym(
+                    classes_w[idx][:, :chr_c, : max(1, n_part)],
+                    flat, base, ys[idx], used[idx], has_floor[idx],
+                    window_index,
+                )
+            else:
+                dev, count = synth.dispatch(
+                    residue[idx][:, :, :n2],
+                    ys[idx],
+                    used[idx],
+                    has_floor[idx],
+                    window_index,
+                    None,
+                )
             batch = _LazyBatch(dev, count)
             for slot, ri in enumerate(rows):
                 results[ri]._lazy = (batch, slot)

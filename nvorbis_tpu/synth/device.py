@@ -210,6 +210,26 @@ def synth_core(residue, ys, used, has_floor, window_index, xs, windows, basis,
     return pcm * win[:, None, :]
 
 
+@functools.partial(jax.jit, static_argnames=("coupling", "st"))
+def _synth_program_sym(
+    classes, ids_flat, frame_base, ys, used, has_floor, window_index,
+    xs, windows, basis, sl, g_t, d_t, vb_t, dm_t, mg_t, *, coupling, st,
+):
+    """Jitted symbol-mode synthesis: residues arrive as classes + canonical
+    VQ entry ids and are rebuilt on device (synth/residue_sym.py) before the
+    shared synthesis body."""
+    from nvorbis_tpu.synth.residue_sym import reconstruct_spectrum
+
+    residue = reconstruct_spectrum(
+        classes, ids_flat, frame_base, (g_t, d_t, vb_t, dm_t, mg_t), st,
+        ys.shape[1],
+    )
+    return synth_core(
+        residue, ys, used, has_floor, window_index, xs, windows, basis,
+        coupling, sl=sl,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("coupling", "has_f0"))
 def _synth_program(
     residue, ys, used, has_floor, window_index, f0_curves, xs, windows, basis,
@@ -299,6 +319,52 @@ class DeviceSynth:
         while p < b:
             p <<= 1
         return p
+
+    def attach_symbol_plan(self, plan):
+        """Enable :meth:`dispatch_sym` with a ResiduePlan for this mode's
+        residue (see synth/residue_sym.py)."""
+        from nvorbis_tpu.synth.residue_sym import plan_static, plan_tables_dev
+
+        self._sym_static = plan_static(plan, self.n)
+        self._sym_tabs = plan_tables_dev(plan)
+
+    def dispatch_sym(self, classes, ids_flat, frame_base, ys, used,
+                     has_floor, window_index):
+        """Symbol-mode async dispatch; same contract as :meth:`dispatch`
+        but residues arrive as classes + flat canonical entry ids."""
+        from nvorbis_tpu.synth.residue_sym import round_ids
+
+        b = classes.shape[0]
+        bp = self._bucket(b)
+        if bp != b:
+            classes = np.pad(classes, [(0, bp - b), (0, 0), (0, 0)],
+                             constant_values=255)
+            frame_base = np.pad(frame_base, [(0, bp - b)])
+            ys = np.pad(ys, [(0, bp - b), (0, 0), (0, 0)])
+            used = np.pad(used, [(0, bp - b), (0, 0), (0, 0)])
+            has_floor = np.pad(has_floor, [(0, bp - b), (0, 0)])
+            window_index = np.pad(window_index, [(0, bp - b)])
+        n_pad = round_ids(ids_flat.shape[0])
+        if n_pad != ids_flat.shape[0]:
+            ids_flat = np.pad(ids_flat, [(0, n_pad - ids_flat.shape[0])],
+                              constant_values=-1)
+        out = _synth_program_sym(
+            jnp.asarray(classes.astype(np.int32)),
+            jnp.asarray(ids_flat),
+            jnp.asarray(frame_base),
+            jnp.asarray(ys),
+            jnp.asarray(used),
+            jnp.asarray(has_floor),
+            jnp.asarray(window_index),
+            self._xs_dev,
+            self._windows_dev,
+            self._basis_dev,
+            self._sl_dev,
+            *self._sym_tabs,
+            coupling=self.coupling_steps,
+            st=self._sym_static,
+        )
+        return out, b
 
     def dispatch(self, residue, ys, used, has_floor, window_index, f0_curves=None):
         """Dispatch a batch asynchronously; returns ``(device_array, b)``.
