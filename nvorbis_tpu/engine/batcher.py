@@ -231,23 +231,17 @@ class JaxPipeline:
             idx = np.asarray(rows)
             window_index = meta[idx, 2].astype(np.int32)
             if sym:
+                from nvorbis_tpu.synth.residue_sym import flatten_ids
+
                 if not hasattr(synth, "_sym_static"):
                     res_cfg = setup.residues[mode.mapping.submap_residue[0]]
                     synth.attach_symbol_plan(
                         self._native.sym_plans[id(res_cfg)]
                     )
-                n_part, chr_c = synth._sym_static[2], synth._sym_static[3]
-                counts = meta[idx, 5].astype(np.int64)
-                base = np.concatenate(
-                    [[0], np.cumsum(counts)[:-1]]
-                ).astype(np.int32)
-                sub = ids_w[idx]
-                keep = np.arange(sub.shape[1])[None, :] < counts[:, None]
-                flat = sub[keep].astype(np.int16)
-                if flat.size == 0:
-                    flat = np.full(1, -1, dtype=np.int16)
+                st = synth._sym_static
+                flat, base = flatten_ids(ids_w[idx], meta[idx, 5])
                 dev, count = synth.dispatch_sym(
-                    classes_w[idx][:, :chr_c, : max(1, n_part)],
+                    classes_w[idx][:, : st.chr_count, : max(1, st.n_part)],
                     flat, base, ys[idx], used[idx], has_floor[idx],
                     window_index,
                 )

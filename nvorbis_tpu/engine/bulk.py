@@ -455,13 +455,13 @@ class BulkDecoder:
 
             if self._sym:
                 from nvorbis_tpu.synth.residue_sym import (
-                    CLASS_SENTINEL, plan_static, round_ids,
+                    CLASS_SENTINEL, flatten_ids, plan_static, round_ids,
                 )
 
                 res_cfg = setup.residues[mode.mapping.submap_residue[0]]
                 plan = self._native.sym_plans[id(res_cfg)]
                 st = plan_static(plan, n)
-                n_part, chr_c = st[2], st[3]
+                n_part, chr_c = st.n_part, st.chr_count
                 cls_b = np.full((B_pad, chr_c, max(1, n_part)),
                                 CLASS_SENTINEL, dtype=np.uint8)
                 base_b = np.zeros(B_pad, dtype=np.int32)
@@ -500,15 +500,12 @@ class BulkDecoder:
                     cls_b[dst, :, :n_part] = (
                         classes_w[ridx][:, :chr_c, :n_part]
                     )
-                    counts = meta[ridx, 5].astype(np.int64)
-                    base_b[dst] = pos + np.concatenate(
-                        [[0], np.cumsum(counts)[:-1]]
+                    flat_rows, base_rows = flatten_ids(
+                        ids_w[ridx], meta[ridx, 5]
                     )
-                    sub = ids_w[ridx]
-                    keep = (np.arange(sub.shape[1])[None, :]
-                            < counts[:, None])
-                    id_parts.append(sub[keep])
-                    pos += int(counts.sum())
+                    base_b[dst] = pos + base_rows
+                    id_parts.append(flat_rows)
+                    pos += len(flat_rows)
                 else:
                     res_b[dst] = residue[ridx][:, :, :n2]
                 for k, i in enumerate(rows):

@@ -507,11 +507,11 @@ class BatchDecoder:
             B_pad = _bucket_size(B)
             if self._sym:
                 from nvorbis_tpu.synth.residue_sym import (
-                    CLASS_SENTINEL, round_ids,
+                    CLASS_SENTINEL, flatten_ids, round_ids,
                 )
 
                 st_geom, tabs = self._sym_info[n]
-                n_part, chr_c = st_geom[2], st_geom[3]
+                n_part, chr_c = st_geom.n_part, st_geom.chr_count
                 cls_b = np.full((B_pad, chr_c, max(1, n_part)),
                                 CLASS_SENTINEL, dtype=np.uint8)
                 base_b = np.zeros(B_pad, dtype=np.int32)
@@ -563,15 +563,12 @@ class BatchDecoder:
                     cls_b[dst, :, :n_part] = (
                         chunk["classes"][ridx][:, :chr_c, :n_part]
                     )
-                    counts = metas_r[:, 5].astype(np.int64)
-                    base_b[dst] = pos + np.concatenate(
-                        [[0], np.cumsum(counts)[:-1]]
+                    flat_rows, base_rows = flatten_ids(
+                        chunk["ids"][ridx], metas_r[:, 5]
                     )
-                    sub = chunk["ids"][ridx]
-                    keep = (np.arange(sub.shape[1])[None, :]
-                            < counts[:, None])
-                    id_parts.append(sub[keep])
-                    pos += int(counts.sum())
+                    base_b[dst] = pos + base_rows
+                    id_parts.append(flat_rows)
+                    pos += len(flat_rows)
                 else:
                     res_b[dst] = chunk["residue"][ridx][:, :, :n2]
                 for k, (row, st, plan, meta) in enumerate(rows):

@@ -22,6 +22,8 @@ boundaries, which the partition-local addressing cannot express; the dense
 path handles those).
 """
 
+from typing import NamedTuple
+
 import numpy as np
 
 CLASS_SENTINEL = 255
@@ -37,6 +39,7 @@ class ResiduePlan:
     __slots__ = (
         "residue_type", "begin", "end", "psize", "S", "n_cls", "channels",
         "groups_np", "div_np", "vq_base_np", "dims_np", "vq_mega_np",
+        "_tabs_dev",
     )
 
     def __init__(self, residue, channels):
@@ -144,21 +147,49 @@ def sym_geometry(setup, plans):
 
 
 def plan_tables_dev(plan):
-    """Device-resident constant tables for a plan (upload once)."""
+    """Device-resident constant tables for a plan (uploaded once per plan —
+    cached on the plan object, so every consumer shares one device copy)."""
+    tabs = getattr(plan, "_tabs_dev", None)
+    if tabs is not None:
+        return tabs
     import jax.numpy as jnp
 
-    return (
+    tabs = (
         jnp.asarray(plan.groups_np),
         jnp.asarray(plan.div_np.reshape(-1)),
         jnp.asarray(plan.vq_base_np.reshape(-1)),
         jnp.asarray(plan.dims_np.reshape(-1)),
         jnp.asarray(plan.vq_mega_np),
     )
+    plan._tabs_dev = tabs
+    return tabs
+
+
+def flatten_ids(ids_rows, counts):
+    """Compact per-frame id rows ``[R, max_ids]`` into one flat int16 array
+    plus per-frame exclusive-cumsum bases — the chunk-level layout every
+    dispatcher uploads (ids beyond each row's count are undefined)."""
+    counts = counts.astype(np.int64)
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    keep = np.arange(ids_rows.shape[1])[None, :] < counts[:, None]
+    return ids_rows[keep].astype(np.int16), base
+
+
+class SymStatic(NamedTuple):
+    """Hashable static geometry for the jitted reconstruction."""
+
+    begin: int
+    psize: int
+    n_part: int
+    chr_count: int
+    stages: int
+    n_cls: int
+    half: int
+    residue_type: int
 
 
 def plan_static(plan, block_size):
-    """Hashable static geometry for the jitted program."""
-    return (
+    return SymStatic(
         plan.begin, plan.psize, plan.n_part(block_size), plan.chr_count(),
         plan.S, plan.n_cls, plan.half(block_size), plan.residue_type,
     )
@@ -174,7 +205,7 @@ def reconstruct_spectrum(classes, ids_flat, frame_base, tabs, st, channels):
     """
     import jax.numpy as jnp
 
-    begin, psize, n_part, CHR, S, n_cls, half, rtype = st
+    begin, psize, n_part, CHR, S, n_cls, half, rtype = st  # SymStatic
     groups_t, div_t, vqb_t, dims_t, mega_t = tabs
     B = classes.shape[0]
     n_ids = ids_flat.shape[0]
