@@ -44,7 +44,28 @@ def get_fixture():
     return path
 
 
-N_STREAMS = 4  # concurrent streams per batched decode
+N_STREAMS = int(os.environ.get("NVT_BENCH_STREAMS", "4"))
+REPS = int(os.environ.get("NVT_BENCH_REPS", "2"))
+
+
+def _tpu_link_alive() -> bool:
+    """Fast-fail probe of the TPU tunnel relay: when the relay is down,
+    jax backend init hangs forever instead of erroring (see NOTES.md), so
+    a hung bench would tell the driver nothing.  Non-axon environments
+    (no relay configured) pass trivially."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
+    import socket
+
+    s = socket.socket()
+    s.settimeout(3)
+    try:
+        s.connect(("127.0.0.1", 8082))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
 
 
 def decode_once(raw, engine):
@@ -65,6 +86,20 @@ def decode_batch(raws):
 
 
 def main():
+    if not _tpu_link_alive():
+        print(
+            json.dumps(
+                {
+                    "metric": "decode_throughput_stereo_44k1_longform_batch",
+                    "value": 0.0,
+                    "unit": "x_realtime_per_chip",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        print("TPU tunnel relay is down (connection refused on :8082); "
+              "jax init would hang — aborting bench.", file=sys.stderr)
+        return
     _enable_compile_cache()
     engine = "oracle" if "--oracle" in sys.argv else "jax"
     raw = open(get_fixture(), "rb").read()
@@ -77,9 +112,8 @@ def main():
     else:
         decode_batch([raw] * N_STREAMS)
 
-    reps = 2
     best = 0.0
-    for _ in range(reps):
+    for _ in range(REPS):
         t0 = time.perf_counter()
         if engine == "oracle":
             audio_sec = decode_once(raw, engine)
