@@ -417,7 +417,10 @@ class BulkDecoder:
         L_real = max(0, chunk_end - chunk_base)
         if L_real == 0:
             return np.zeros(0, dtype=np.float32)
-        L_pad = _round_up(L_real, L_QUANTUM)
+        # program shape quantized to a power of two (few distinct compiles);
+        # the fetch slices down to an L_QUANTUM multiple on device so the
+        # padding is never transferred
+        L_pad = max(L_QUANTUM, 1 << (L_real - 1).bit_length())
 
         # bucket rows by mode
         buckets = {}
@@ -605,9 +608,12 @@ class BulkDecoder:
         # the host unpack + dispatch of the next one
         from nvorbis_tpu.utils.fetch import fetch_np
 
+        # device-side slice to the fetch quantum: per-L_real shapes would
+        # each compile, but L_QUANTUM multiples repeat across chunks
+        L_fetch = min(L_pad, _round_up(L_real, L_QUANTUM))
+        out_f = out[:L_fetch] if L_fetch != L_pad else out
+
         def finish():
-            # slice the L padding on host (device-side [:L_real] slicing
-            # would compile a program per distinct L_real)
-            return fetch_np(out)[:L_real].reshape(-1)
+            return fetch_np(out_f)[:L_real].reshape(-1)
 
         return finish

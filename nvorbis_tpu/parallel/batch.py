@@ -696,7 +696,9 @@ class BatchDecoder:
         L_real = out_off
         if L_real == 0:
             return lambda: None
-        L_pad = _round_up(L_real, L_QUANTUM)
+        # pow2 program shape, quantized device-side slice for the fetch
+        # (see engine/bulk.py)
+        L_pad = max(L_QUANTUM, 1 << (L_real - 1).bit_length())
         S_pad = _round_up(max(1, len(segs)), 256)
         segE = np.zeros(S_pad + 1, dtype=np.int32)
         prim = np.zeros(S_pad, dtype=np.int32)
@@ -718,9 +720,11 @@ class BatchDecoder:
             (C, L_pad, S_pad, tuple(cfg_buckets)), self._mesh_key
         )
         out = fn(*args)
+        L_fetch = min(L_pad, _round_up(L_real, L_QUANTUM))
+        out_f = out[:L_fetch] if L_fetch != L_pad else out
 
         def finish():
-            host = fetch_np(out)
+            host = fetch_np(out_f)
             for st, off, length in ranges:
                 st.out.append(host[off : off + length].reshape(-1))
 
