@@ -300,7 +300,11 @@ class PacketProvider:
     def _locate_packet(self, page_index, gps, end_gp, last_page_gp,
                        last_page_packet_len, granule_pos):
         # Reference: FindPacket(int, long[], ...) (PacketProvider.cs:148-204)
-        if end_gp != last_page_gp:
+        # A granule of -1 on the previous page (a packet spans it entirely,
+        # no packet completes there) provides no anchor — the backward walk
+        # from the target page's own granule is the only source of truth, so
+        # there is nothing to cross-check.
+        if end_gp != last_page_gp and last_page_gp != -1:
             diff = end_gp - last_page_gp
             if self._is_vorbis_bug_diff(diff):
                 if diff > 0:

@@ -67,6 +67,50 @@ def paginate(packets, granules, serial=0x6E567462, first_seq=0,
     return bytes(out)
 
 
+def paginate_with_continuations(packets, granules, serial=0x6E567463,
+                                chunk=255):
+    """Paginate with every large audio packet force-split across >=3 pages
+    (mid-packet page boundaries): page lacing ends on 255 to mark the
+    continuation, middle pages carry granule -1 and the continuation flag —
+    the layout NVorbis stitches in PacketProvider.CreatePacket (324-438) and
+    validates in StreamPageReader.AddPage (58-69).
+
+    ``chunk`` must be a multiple of 255 (lacing can only signal an
+    incomplete packet at a 255 boundary).
+    """
+    assert chunk % 255 == 0
+    out = bytearray()
+    seq = 0
+    for i, (pkt, gr) in enumerate(zip(packets, granules)):
+        is_first = i == 0
+        is_last = i == len(packets) - 1
+        bos = 0x02 if is_first else 0
+        eos = 0x04 if is_last else 0
+        if i < 3 or len(pkt) <= chunk:
+            out += _build_page([(pkt, True)], serial, seq,
+                               0 if gr == -1 and i < 3 else gr, bos | eos)
+            seq += 1
+            continue
+        # split: first page ends at a 255 boundary (incomplete), middle
+        # pages are pure continuation with granule -1, the final page
+        # completes the packet and carries the granule.  A rest of exactly
+        # zero bytes still needs a completing page (zero lacing value).
+        parts = [pkt[:chunk]]
+        rest = pkt[chunk:]
+        while len(rest) > chunk:
+            parts.append(rest[:chunk])
+            rest = rest[chunk:]
+        parts.append(rest)
+        out += _build_page([(parts[0], False)], serial, seq, -1, 0)
+        seq += 1
+        for mid in parts[1:-1]:
+            out += _build_page([(mid, False)], serial, seq, -1, 0x01)
+            seq += 1
+        out += _build_page([(parts[-1], True)], serial, seq, gr, 0x01 | eos)
+        seq += 1
+    return bytes(out)
+
+
 def packet_granules(overlaps):
     """Granule after each audio packet given (start, valid, total) triples.
 
@@ -150,7 +194,7 @@ def make_long_stream(src_path, repeats, out_path, serial=0x6E567462):
     return out_path, total
 
 
-def _repaginate(src_path, repeats, serial):
+def _repaginate(src_path, repeats, serial, paginator=paginate):
     """Rebuild one logical stream; returns (blob, total_samples)."""
     import nvorbis_tpu as nv
 
@@ -227,7 +271,18 @@ def _repaginate(src_path, repeats, serial):
     # Vorbis: id header alone on page 1; comment+setup may share a page
     packets = header_pkts + all_audio
     pkt_granules = [-1] * len(header_pkts) + granules
-    blob = paginate(
-        packets, pkt_granules, serial=serial, bos_pages=len(header_pkts)
-    )
+    if paginator is paginate:
+        blob = paginate(
+            packets, pkt_granules, serial=serial, bos_pages=len(header_pkts)
+        )
+    else:
+        blob = paginator(packets, pkt_granules, serial=serial)
     return blob, granules[-1]
+
+
+def make_continuation_stream(src_path, serial=0x6E567463):
+    """Repaginate a fixture with every large packet force-split across
+    multiple pages (see paginate_with_continuations).  Returns
+    (blob, total_samples) — total per the regenerated granules."""
+    return _repaginate(src_path, 1, serial,
+                       paginator=paginate_with_continuations)
