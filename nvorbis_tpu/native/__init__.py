@@ -40,8 +40,13 @@ def _build_library():
 
 
 def load():
-    """Load (building if needed) the native library; None when unavailable."""
+    """Load (building if needed) the native library; None when unavailable.
+
+    ``NVT_NO_NATIVE=1`` disables it (pure-python host plane), for testing
+    the fallback and for environments without a toolchain."""
     global _lib, _lib_failed
+    if os.environ.get("NVT_NO_NATIVE", "") not in ("", "0"):
+        return None
     if _lib is not None:
         return _lib
     if _lib_failed:

@@ -101,6 +101,12 @@ class VorbisReader:
         return list(self._decoders)
 
     @property
+    def stream_count(self) -> int:
+        """Discovered logical stream count (0.9-era API compat;
+        VorbisReader.cs:156-210)."""
+        return len(self._decoders)
+
+    @property
     def stream_index(self) -> int:
         return self._decoders.index(self._stream_decoder)
 

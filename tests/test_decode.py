@@ -116,3 +116,17 @@ def test_profiling_spans():
     finally:
         profiling.enable(False)
         profiling.reset()
+
+
+def test_pure_python_fallback(monkeypatch):
+    """With the native library disabled, the jax engine falls back to the
+    python host plane and stays sample-exact."""
+    import numpy as np
+    import nvorbis_tpu as nv
+
+    monkeypatch.setenv("NVT_NO_NATIVE", "1")
+    got = nv.VorbisReader(fixture_path("1test.ogg"), engine="jax").read_all()
+    monkeypatch.delenv("NVT_NO_NATIVE")
+    ref = nv.VorbisReader(fixture_path("1test.ogg"), engine="oracle").read_all()
+    assert len(got) == len(ref)
+    assert float(np.abs(got - ref).max()) <= 2e-6
