@@ -58,7 +58,7 @@ class BookSpec:
 
     def __init__(self, dims, entries, lengths=None, map_type=0,
                  min_value=0.0, delta=1.0, value_bits=4, sequence_p=False,
-                 mults=None):
+                 mults=None, ordered=False, sparse=False):
         self.dims = dims
         self.entries = entries
         if lengths is None:
@@ -67,6 +67,12 @@ class BookSpec:
                 raise ValueError("auto lengths need power-of-two entries")
             lengths = [L] * entries
         self.lengths = lengths
+        self.ordered = ordered    # emit the run-length "ordered" header form
+        self.sparse = sparse      # emit per-entry used flags; length -1 = unused
+        if ordered and (sparse or any(
+            lengths[i] > lengths[i + 1] for i in range(len(lengths) - 1)
+        )):
+            raise ValueError("ordered books need non-decreasing lengths")
         codes = compute_codewords(lengths)
         if codes is None:
             raise ValueError("over-subscribed code space")
@@ -98,10 +104,31 @@ class BookSpec:
         bw.write(0x564342, 24)
         bw.write(self.dims, 16)
         bw.write(self.entries, 24)
-        bw.write(0, 1)  # unordered
-        bw.write(0, 1)  # not sparse
-        for ln in self.lengths:
-            bw.write(ln - 1, 5)
+        if self.ordered:
+            # run-length form: initial length, then counts of entries at
+            # each successive length (codec/codebook.py _read_lengths)
+            bw.write(1, 1)
+            bw.write(self.lengths[0] - 1, 5)
+            i = 0
+            length = self.lengths[0]
+            while i < self.entries:
+                cnt = 0
+                while (i + cnt < self.entries
+                       and self.lengths[i + cnt] == length):
+                    cnt += 1
+                bw.write(cnt, ilog(self.entries - i))
+                i += cnt
+                length += 1
+        else:
+            bw.write(0, 1)
+            bw.write(1 if self.sparse else 0, 1)
+            for ln in self.lengths:
+                if self.sparse:
+                    bw.write(1 if ln > 0 else 0, 1)
+                    if ln > 0:
+                        bw.write(ln - 1, 5)
+                else:
+                    bw.write(ln - 1, 5)
         bw.write(self.map_type, 4)
         if self.map_type:
             bw.write(_float32_pack(self.min_value), 32)
@@ -112,7 +139,14 @@ class BookSpec:
                 bw.write(m, self.value_bits)
 
     def encode(self, bw: BitWriter, entry: int):
+        if self.lengths[entry] <= 0:
+            raise ValueError(f"entry {entry} is unused (sparse)")
         bw.write(self.codes[entry], self.lengths[entry])
+
+    def random_entry(self, rng) -> int:
+        """A uniformly random *used* entry (sparse books skip unused)."""
+        used = [i for i, ln in enumerate(self.lengths) if ln > 0]
+        return used[int(rng.integers(0, len(used)))]
 
 
 def _float32_pack(x: float) -> int:
@@ -184,7 +218,7 @@ class Floor1Spec:
         book = self.post_book
         for _ in range(self.partitions):
             for _ in range(self.class_dim):
-                book.encode(bw, int(rng.integers(0, book.entries)))
+                book.encode(bw, book.random_entry(rng))
 
 
 class Floor0Spec:
@@ -220,7 +254,7 @@ class Floor0Spec:
         book = self.book
         count = -(-self.order // book.dims)
         for _ in range(count):
-            book.encode(bw, int(rng.integers(0, book.entries)))
+            book.encode(bw, book.random_entry(rng))
 
 
 class ResidueSpec:
@@ -323,9 +357,7 @@ class ResidueSpec:
                                 else:
                                     steps = -(-psize // book.dims)
                                 for _ in range(steps):
-                                    book.encode(
-                                        bw, int(rng.integers(0, book.entries))
-                                    )
+                                    book.encode(bw, book.random_entry(rng))
                     d += 1
                     pi += 1
                 ei += 1

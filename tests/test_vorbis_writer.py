@@ -236,3 +236,31 @@ def test_long_codewords_overflow_decode():
     rng = np.random.default_rng(81)
     blob = spec.build_stream(rng, 30)
     _decode_both(blob)
+
+
+def test_ordered_and_sparse_codebooks():
+    """Ordered (run-length) and sparse codebook header forms decode the
+    same as their explicit-length equivalents
+    (NVorbis/Codebook.cs:76-123 both branches)."""
+    from nvorbis_tpu.testgen.vorbis_writer import (
+        Floor1Spec, MappingSpec, ModeSpec, ResidueSpec, StreamSpec,
+    )
+
+    # ordered: non-decreasing complete code 1..13 + 13
+    ordered_book = BookSpec(1, 14, lengths=list(range(1, 14)) + [13],
+                            ordered=True)
+    # sparse: complete code over the used entries, two unused holes
+    sparse_lengths = [2, 2, -1, 3, 3, -1, 3, 3, -1, -1]  # Kraft sum = 1
+    sparse_vq = BookSpec(2, 10, lengths=sparse_lengths, map_type=2,
+                         min_value=-1.0, delta=0.125, value_bits=5,
+                         sparse=True)
+    classbook = BookSpec(2, 16)
+    books = [ordered_book, sparse_vq, classbook]
+    floor = Floor1Spec(post_book=ordered_book)
+    res = ResidueSpec(2, 0, 128, 16, 4, classbook,
+                      [[sparse_vq], [None], [sparse_vq], [None]])
+    mapping = MappingSpec(couplings=[(0, 1)])
+    spec = StreamSpec(2, 44100, 256, 2048, books, [floor], [res],
+                      [mapping], [ModeSpec(0), ModeSpec(1)])
+    blob = spec.build_stream(np.random.default_rng(91), 24)
+    _decode_both(blob)
