@@ -7,11 +7,6 @@ Reference: NVorbis/StreamDecoder.cs LoadStreamHeader (179-204), LoadComments
 
 from nvorbis_tpu.errors import InvalidDataError
 from nvorbis_tpu.utils.bitmath import ilog
-from nvorbis_tpu.codec.codebook import Codebook
-from nvorbis_tpu.codec.floor import Floor0, Floor1
-from nvorbis_tpu.codec.residue import Residue
-from nvorbis_tpu.codec.mapping import Mapping
-from nvorbis_tpu.codec.mode import Mode
 
 # includes the 4-byte version field (must be 0); StreamDecoder.cs:145
 _SIG_ID = b"\x01vorbis\x00\x00\x00\x00"
@@ -133,48 +128,42 @@ def parse_setup_header(packet, id_header):
     setup.block0_size = id_header.block0_size
     setup.block1_size = id_header.block1_size
 
-    books = [Codebook(packet) for _ in range(packet.read_bits(8) + 1)]
+    from nvorbis_tpu.codec import factory
+
+    books = [
+        factory.create_codebook(packet)
+        for _ in range(packet.read_bits(8) + 1)
+    ]
     setup.codebooks = books
 
     # time domain transforms: unused by Vorbis, skip 16 bits each
     times = packet.read_bits(6) + 1
     packet.skip_bits(16 * times)
 
-    floors = []
-    for _ in range(packet.read_bits(6) + 1):
-        floor_type = packet.read_bits(16)
-        if floor_type == 0:
-            cls = Floor0
-        elif floor_type == 1:
-            cls = Floor1
-        else:
-            raise InvalidDataError(f"Invalid floor type {floor_type}")
-        floors.append(
-            cls(packet, setup.channels, setup.block0_size, setup.block1_size, books)
-        )
+    floors = [
+        factory.create_floor(packet, setup.channels, setup.block0_size,
+                             setup.block1_size, books)
+        for _ in range(packet.read_bits(6) + 1)
+    ]
     setup.floors = floors
 
-    residues = []
-    for _ in range(packet.read_bits(6) + 1):
-        residue_type = packet.read_bits(16)
-        if residue_type not in (0, 1, 2):
-            raise InvalidDataError(f"Invalid residue type {residue_type}")
-        residues.append(Residue(packet, setup.channels, books, residue_type))
+    residues = [
+        factory.create_residue(packet, setup.channels, books)
+        for _ in range(packet.read_bits(6) + 1)
+    ]
     setup.residues = residues
 
-    mappings = []
-    for _ in range(packet.read_bits(6) + 1):
-        mapping_type = packet.read_bits(16)
-        if mapping_type != 0:
-            raise InvalidDataError(f"Invalid mapping type {mapping_type}")
-        mappings.append(Mapping(packet, setup.channels, floors, residues))
+    mappings = [
+        factory.create_mapping(packet, setup.channels, floors, residues)
+        for _ in range(packet.read_bits(6) + 1)
+    ]
     setup.mappings = mappings
 
-    modes = []
-    for _ in range(packet.read_bits(6) + 1):
-        modes.append(
-            Mode(packet, setup.channels, setup.block0_size, setup.block1_size, mappings)
-        )
+    modes = [
+        factory.create_mode(packet, setup.channels, setup.block0_size,
+                            setup.block1_size, mappings)
+        for _ in range(packet.read_bits(6) + 1)
+    ]
     setup.modes = modes
 
     if not packet.read_bit():
