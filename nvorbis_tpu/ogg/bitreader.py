@@ -109,3 +109,30 @@ class BitReader:
             out[i] = v
             got += 1
         return bytes(out[:got])
+
+    def read_byte(self) -> int:
+        return self.read_bits(8)
+
+    def read_int16(self) -> int:
+        v = self.read_bits(16)
+        return v - (1 << 16) if v & (1 << 15) else v
+
+    def read_uint16(self) -> int:
+        return self.read_bits(16)
+
+    def read_int32(self) -> int:
+        v = self.read_bits(32)
+        return v - (1 << 32) if v & (1 << 31) else v
+
+    def read_uint32(self) -> int:
+        return self.read_bits(32)
+
+    def read_int64(self) -> int:
+        v = self.read_bits(64)
+        return v - (1 << 64) if v & (1 << 63) else v
+
+    def read_uint64(self) -> int:
+        return self.read_bits(64)
+
+    def skip_bytes(self, count: int) -> None:
+        self.skip_bits(count * 8)

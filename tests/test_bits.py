@@ -75,3 +75,22 @@ def test_crc_vectorized_matches_serial():
     for n in [0, 1, 2, 3, 7, 26, 27, 255, 256, 1000, 4096, 65537]:
         data = bytes(random.randrange(256) for _ in range(n))
         assert crc32(data) == crc32_serial(data)
+
+
+def test_extensions_helpers():
+    """Typed reads (reference: NVorbis/Extensions.cs:19-34)."""
+    import struct
+    from nvorbis_tpu.ogg.bitreader import BitReader
+
+    payload = struct.pack("<BhHiIq", 0xAB, -1234, 40000, -70000, 3_000_000_000,
+                          -(1 << 40))
+    r = BitReader(payload)
+    assert r.read_byte() == 0xAB
+    assert r.read_int16() == -1234
+    assert r.read_uint16() == 40000
+    assert r.read_int32() == -70000
+    assert r.read_uint32() == 3_000_000_000
+    assert r.read_int64() == -(1 << 40)
+    r2 = BitReader(payload)
+    r2.skip_bytes(3)
+    assert r2.bits_read == 24
