@@ -128,3 +128,32 @@ def test_corrupt_page_is_skipped():
     assert sc.waste_bits > 0
     # the page following the corrupt one is flagged resync
     assert any(p.is_resync for p in pages)
+
+
+def test_non_vorbis_codec_hints():
+    """Opening a non-Vorbis logical stream raises with a codec hint
+    (reference: StreamDecoder.GetInvalidStreamException 70-103)."""
+    import pytest
+    import nvorbis_tpu as nv
+    from nvorbis_tpu.errors import VorbisError
+    from nvorbis_tpu.testgen.ogg_writer import paginate
+
+    for head, hint in [
+        (b"OpusHead" + bytes(8), "OPUS"),
+        (b"\x7fFLAC" + bytes(8), "FLAC"),
+        (b"Speex   " + bytes(8), "Speex"),
+        (b"fishead\x00" + bytes(8), "Skeleton"),
+    ]:
+        blob = paginate([head], [-1], bos_pages=1)
+        with pytest.raises(VorbisError) as e:
+            nv.VorbisReader(blob, engine="oracle")
+        assert hint in str(e.value), (hint, str(e.value))
+
+
+def test_pure_garbage_raises():
+    import pytest
+    import nvorbis_tpu as nv
+    from nvorbis_tpu.errors import VorbisError
+
+    with pytest.raises(VorbisError):
+        nv.VorbisReader(b"\x00" * 5000, engine="oracle")
