@@ -351,7 +351,10 @@ class BatchDecoder:
         Returns per-frame arrays + per-stream segment info, or None when all
         streams are exhausted.
         """
-        frames = []  # (stream, row-local arrays index)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from nvorbis_tpu.utils.profiling import span
+
         residues = []
         classes_l = []
         ids_l = []
@@ -359,11 +362,12 @@ class BatchDecoder:
         useds = []
         hfs = []
         metas = []
-        stream_of = []
         plans = []
+
+        # phase 1: pull raw packets per stream (python, GIL-bound)
+        jobs = []  # (stream, packets, raw bytes)
         budget = CHUNK_FRAMES
         size_counts = {}
-        got_any = False
         for st in active:
             if st.done or budget <= 0:
                 continue
@@ -388,25 +392,40 @@ class BatchDecoder:
                 if mi is not None and mi < nm:
                     n = setup.modes[mi].block_size
                     size_counts[n] = size_counts.get(n, 0) + 1
-            if not packets:
-                continue
-            got_any = True
-            budget -= len(packets)
-            from nvorbis_tpu.utils.profiling import span
+            if packets:
+                budget -= len(packets)
+                jobs.append((st, packets, raw))
+        if not jobs:
+            return None
 
-            with span("batch.unpack"):
-                if self._sym:
-                    classes, ids, ys, used, has_floor, meta = (
-                        st.native.unpack_sym(raw)
-                    )
-                    classes_l.append(classes)
-                    ids_l.append(ids)
-                    residue = None
-                else:
-                    residue, ys, used, has_floor, meta = (
-                        st.native.unpack(raw)
-                    )
+        # phase 2: bit-serial unpack, all streams concurrently (the C++
+        # core releases the GIL and threads internally; multiple windows
+        # in flight keep its pool fed when per-stream windows are small)
+        def _unpack(job):
+            st, _, raw = job
+            if self._sym:
+                return st.native.unpack_sym(raw)
+            return st.native.unpack(raw)
+
+        with span("batch.unpack"):
+            if len(jobs) == 1:
+                unpacked = [_unpack(jobs[0])]
+            else:
+                with ThreadPoolExecutor(
+                    max_workers=min(4, len(jobs))
+                ) as ex:
+                    unpacked = list(ex.map(_unpack, jobs))
+
+        # phase 3: per-packet lapping plans + stats (order-sensitive)
+        for (st, packets, raw), arrs in zip(jobs, unpacked):
+            dec = st.decoder
             setup = dec._setup
+            if self._sym:
+                classes, ids, ys, used, has_floor, meta = arrs
+                classes_l.append(classes)
+                ids_l.append(ids)
+            else:
+                residue, ys, used, has_floor, meta = arrs
             for i, p in enumerate(packets):
                 ok = meta[i, 0] == 1
                 block_size = None
@@ -442,9 +461,6 @@ class BatchDecoder:
             useds.append(used)
             hfs.append(has_floor)
             metas.append(meta)
-            stream_of.extend([st] * len(packets))
-        if not got_any:
-            return None
         chunk = {
             "ys": self._pad_cat(yss, P),
             "used": self._pad_cat(useds, P),
