@@ -81,3 +81,30 @@ def test_batch_sixteen_streams():
             refs[n] = nv.VorbisReader(fixture_path(n), engine="oracle").read_all()
         assert len(got) == len(refs[n])
         assert float(np.abs(got - refs[n]).max()) <= 2e-6
+
+
+def test_batch_mixed_topologies_and_fixtures():
+    """One BatchDecoder call over disparate topologies (stereo fixture,
+    5.1 synthetic, mono type-0 synthetic) — groups split and decode
+    independently, each per-stream exact."""
+    import numpy as np
+    import nvorbis_tpu as nv
+    from nvorbis_tpu.parallel.batch import BatchDecoder
+    from nvorbis_tpu.testgen.vorbis_writer import make_simple_spec
+    from tests.conftest import fixture_path
+
+    fixture = open(fixture_path("3test.ogg"), "rb").read()
+    surround = make_simple_spec(
+        channels=6, sample_rate=48000, residue_type=2,
+        couplings=[(0, 1), (2, 3), (4, 5)],
+    ).build_stream(np.random.default_rng(95), 16)
+    mono0 = make_simple_spec(
+        channels=1, residue_type=0, couplings=[],
+    ).build_stream(np.random.default_rng(96), 16)
+
+    sources = [fixture, surround, mono0, fixture]
+    outs = BatchDecoder(sources).decode_all()
+    for src, got in zip(sources, outs):
+        ref = nv.VorbisReader(src, engine="oracle").read_all()
+        assert len(got) == len(ref)
+        assert float(np.abs(got - ref).max()) <= 2e-6
