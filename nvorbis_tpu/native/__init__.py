@@ -39,11 +39,25 @@ def _build_library():
     subprocess.run(cmd, check=True, capture_output=True)
 
 
+def reset():
+    """Forget the cached load outcome.
+
+    ``load()`` caches its first success *and* its first failure for the
+    process lifetime; tests that toggle ``NVT_NO_NATIVE`` or repair the
+    toolchain mid-process call this to force a fresh attempt."""
+    global _lib, _lib_failed
+    with _lib_lock:
+        _lib = None
+        _lib_failed = False
+
+
 def load():
     """Load (building if needed) the native library; None when unavailable.
 
     ``NVT_NO_NATIVE=1`` disables it (pure-python host plane), for testing
-    the fallback and for environments without a toolchain."""
+    the fallback and for environments without a toolchain.  The first
+    outcome (success or failure) is cached per process; use :func:`reset`
+    to retry after a transient build failure."""
     global _lib, _lib_failed
     if os.environ.get("NVT_NO_NATIVE", "") not in ("", "0"):
         return None
@@ -58,7 +72,14 @@ def load():
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
                 _build_library()
-            lib = ctypes.CDLL(_SO)
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError:
+                # a stale/foreign-arch .so (e.g. from a copied checkout):
+                # rebuild from source once before giving up
+                os.remove(_SO)
+                _build_library()
+                lib = ctypes.CDLL(_SO)
             lib.nvt_setup_create.restype = ctypes.c_void_p
             lib.nvt_setup_create.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
