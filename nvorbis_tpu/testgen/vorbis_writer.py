@@ -526,10 +526,25 @@ class StreamSpec:
         return bw.to_bytes()
 
     def build_stream(self, rng, n_packets, serial=0x74657374,
-                     silent_schedule=None) -> bytes:
+                     silent_schedule=None, mode_schedule=None) -> bytes:
         """Emit a complete one-stream Ogg: headers + ``n_packets`` audio
-        packets with truthful window flags and granules."""
-        flags = [int(rng.integers(0, len(self.modes))) for _ in range(n_packets)]
+        packets with truthful window flags and granules.
+
+        ``mode_schedule``: explicit per-packet mode indices (list, cycled if
+        shorter than ``n_packets``); default is seeded-random.  Note a stream
+        whose first two packets are long-then-short hits a documented
+        NVorbis/libvorbis divergence: NVorbis suppresses the first packet's
+        whole valid region (StreamDecoder.cs:449 ``_prevPacketStart =
+        validLen``) so the long primer's transition surplus
+        ((block1-block0)/4 samples) is never emitted, while libvorbis's
+        pairwise granule accounting keeps it.
+        """
+        if mode_schedule is not None:
+            flags = [mode_schedule[i % len(mode_schedule)]
+                     for i in range(n_packets)]
+        else:
+            flags = [int(rng.integers(0, len(self.modes)))
+                     for _ in range(n_packets)]
         packets = [self.id_header(), self.comment_header(), self.setup_header()]
         granules = [-1, -1, -1]
         pos = 0
@@ -559,8 +574,20 @@ class StreamSpec:
 
 def make_simple_spec(channels=2, sample_rate=44100, block0=256, block1=2048,
                      residue_type=2, couplings=None, n_stages=2,
-                     floor_type=1):
-    """A reasonable single-mapping spec covering the requested topology."""
+                     floor_type=1, floor_range_bits=None):
+    """A reasonable single-mapping spec covering the requested topology.
+
+    By default the floor's X range is fitted to the SHORT block (x_list
+    values <= block0/2) so that every post lies inside both block sizes'
+    spectra.  Posts beyond n exercise a corner where NVorbis and libvorbis
+    genuinely disagree: NVorbis clamps the segment end to n *before*
+    computing the Bresenham slope (Floor1.cs:205 ``Math.Min(hx, n)``) while
+    libvorbis keeps the true slope and merely stops writing at n
+    (floor1.c render_line).  We match NVorbis; pass ``floor_range_bits=8``
+    to build streams that exercise that documented divergence.
+    """
+    if floor_range_bits is None:
+        floor_range_bits = max(3, (block0 // 2).bit_length() - 1)
     post_book = BookSpec(1, 256)
     classbook = BookSpec(2, 16)  # 4 classifications^2 = 16 entries
     vq1 = BookSpec(4, 16, map_type=1, min_value=-2.0, delta=0.25,
@@ -575,8 +602,8 @@ def make_simple_spec(channels=2, sample_rate=44100, block0=256, block1=2048,
     ]
     books = [post_book, classbook, vq1, vq2]
     if floor_type == 1:
-        floor = Floor1Spec(range_bits=8, partitions=2, class_dim=2,
-                           post_book=post_book)
+        floor = Floor1Spec(range_bits=floor_range_bits, partitions=2,
+                           class_dim=2, post_book=post_book)
     else:
         # Floor0 needs physically-plausible data or the LSP filter response
         # overflows to inf (as it would in the reference): fixed ascending

@@ -107,4 +107,7 @@ def test_batch_mixed_topologies_and_fixtures():
     for src, got in zip(sources, outs):
         ref = nv.VorbisReader(src, engine="oracle").read_all()
         assert len(got) == len(ref)
-        assert float(np.abs(got - ref).max()) <= 2e-6
+        # jax-vs-oracle differ by f32 reduction order in the 1024-term IMDCT
+        # matmul (~sqrt(n)*eps ≈ 4e-6 relative); scales with signal peak
+        tol = 5e-6 * max(1.0, float(np.abs(ref).max()) if len(ref) else 1.0)
+        assert float(np.abs(got - ref).max()) <= tol
