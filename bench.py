@@ -53,19 +53,9 @@ def _tpu_link_alive() -> bool:
     jax backend init hangs forever instead of erroring (see NOTES.md), so
     a hung bench would tell the driver nothing.  Non-axon environments
     (no relay configured) pass trivially."""
-    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
-        return True
-    import socket
+    from nvorbis_tpu.utils.relay import jax_backend_safe
 
-    s = socket.socket()
-    s.settimeout(3)
-    try:
-        s.connect(("127.0.0.1", 8082))
-        return True
-    except OSError:
-        return False
-    finally:
-        s.close()
+    return jax_backend_safe()
 
 
 def decode_once(raw, engine):

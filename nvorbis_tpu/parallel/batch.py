@@ -169,9 +169,17 @@ class BatchDecoder:
             st = _StreamState()
             st.reader = nv.VorbisReader(src, engine="oracle")
             st.decoder = st.reader._stream_decoder
-            st.native = NativeUnpacker(
-                st.decoder._setup, st.decoder._max_posts
-            )
+            try:
+                st.native = NativeUnpacker(
+                    st.decoder._setup, st.decoder._max_posts
+                )
+            except RuntimeError:
+                # no native plane (NVT_NO_NATIVE, missing toolchain) or a
+                # setup it cannot represent (Floor0): degrade this stream to
+                # the pure-Python host plane instead of failing the batch —
+                # the reference decodes such streams through the same
+                # pipeline as every other (NVorbis/Floor0.cs)
+                st.native = None
             st.planner = StreamPlanner()
             st.carry = None
             st.last_plan = None
@@ -184,8 +192,11 @@ class BatchDecoder:
 
     @staticmethod
     def _group_key(setup, native):
+        # block_flag matters even when block0 == block1 (spec-legal): same-
+        # size modes can differ in window count, and win_tables are sized
+        # from members[0] only
         modes_key = tuple(
-            (m.block_size,
+            (m.block_size, m.block_flag,
              tuple(zip(m.mapping.coupling_mag, m.mapping.coupling_ang)))
             for m in setup.modes
         )
@@ -214,6 +225,14 @@ class BatchDecoder:
     def decode_all(self):
         groups = defaultdict(list)
         for st in self._streams:
+            if st.native is None:
+                # host-plane fallback: decode this stream on its own
+                # (sequential numpy synthesis); co-batching requires the
+                # native symbol unpacker
+                st.reader.clip_samples = False
+                st.out = [st.reader.read_all()]
+                st.done = True
+                continue
             groups[self._group_key(st.decoder._setup, st.native)].append(st)
 
         for key, members in groups.items():
@@ -232,12 +251,18 @@ class BatchDecoder:
     # -- group decode ----------------------------------------------------------
 
     def _decode_group(self, members):
+        from nvorbis_tpu.utils.relay import jax_backend_safe
+
+        if not jax_backend_safe():
+            raise RuntimeError(
+                "TPU link relay is not answering; jax backend init would "
+                "hang (see nvorbis_tpu/utils/relay.py)"
+            )
         setup0 = members[0].decoder._setup
         C = setup0.channels
         # stacked per-(stream, mode) tables, padded to group maxima
         P = max(st.decoder._max_posts for st in members)
         n_modes = len(setup0.modes)
-        block1 = setup0.block1_size
 
         # table id = stream_index * n_modes + mode_index
         xs_tables = {}   # block size -> np [T, C, P]
@@ -245,7 +270,6 @@ class BatchDecoder:
         sizes = sorted({m.block_size for m in setup0.modes})
         T = len(members) * n_modes
         for n in sizes:
-            W = 4 if n == block1 and setup0.block0_size != block1 else None
             # W differs per mode (long: 4, short: 1); use max over modes of
             # this size
             W = max(

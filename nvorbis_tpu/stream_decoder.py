@@ -153,6 +153,20 @@ class StreamDecoder:
         if engine == "oracle":
             return _OraclePipeline(self)
         if engine in ("jax", "auto"):
+            from nvorbis_tpu.utils.relay import jax_backend_safe
+
+            if not jax_backend_safe():
+                # first backend touch would hang forever on the dead TPU
+                # link; a library open() must never block (see utils/relay)
+                msg = ("TPU link relay is not answering; jax backend init "
+                       "would hang")
+                if engine == "jax":
+                    raise RuntimeError(msg)
+                import warnings
+
+                warnings.warn(msg + " — falling back to engine='oracle'",
+                              RuntimeWarning, stacklevel=4)
+                return _OraclePipeline(self)
             try:
                 from nvorbis_tpu.engine.batcher import JaxPipeline
 

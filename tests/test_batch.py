@@ -111,3 +111,35 @@ def test_batch_mixed_topologies_and_fixtures():
         # matmul (~sqrt(n)*eps ≈ 4e-6 relative); scales with signal peak
         tol = 5e-6 * max(1.0, float(np.abs(ref).max()) if len(ref) else 1.0)
         assert float(np.abs(got - ref).max()) <= tol
+
+
+def test_batch_floor0_stream_falls_back():
+    """A Floor0 stream (no native representation) must degrade to the
+    pure-Python host plane inside a batch, not raise — the reference
+    decodes Floor0 streams through the same pipeline as every other
+    (NVorbis/Floor0.cs)."""
+    from nvorbis_tpu.testgen.vorbis_writer import make_simple_spec
+
+    f0 = make_simple_spec(
+        channels=2, residue_type=2, floor_type=0
+    ).build_stream(np.random.default_rng(21), 12)
+    fixture = open(fixture_path("1test.ogg"), "rb").read()
+
+    outs = BatchDecoder([f0, fixture]).decode_all()
+    for src, got in zip([f0, fixture], outs):
+        ref = nv.VorbisReader(src, engine="oracle").read_all()
+        assert len(got) == len(ref)
+        tol = 5e-6 * max(1.0, float(np.abs(ref).max()))
+        assert float(np.abs(got - ref).max()) <= tol
+
+
+def test_batch_no_native_falls_back(monkeypatch):
+    """With the native plane disabled every stream degrades to the Python
+    host plane; the batch still returns correct PCM."""
+    monkeypatch.setenv("NVT_NO_NATIVE", "1")
+    raw = open(fixture_path("1test.ogg"), "rb").read()
+    outs = BatchDecoder([raw, raw]).decode_all()
+    ref = nv.VorbisReader(raw, engine="oracle").read_all()
+    for got in outs:
+        assert len(got) == len(ref)
+        assert float(np.abs(got - ref).max()) <= 5e-6

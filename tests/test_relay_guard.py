@@ -1,0 +1,78 @@
+"""The library must never hang a user on a dead TPU tunnel.
+
+``VorbisReader(path)`` with the default ``engine="auto"`` consults
+``utils/relay.jax_backend_safe`` before the first jax backend touch and
+falls back to the numpy oracle engine (with a warning); an explicit
+``engine="jax"`` raises instead.  ``BatchDecoder`` raises before its first
+device dispatch.
+"""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+import nvorbis_tpu as nv
+from nvorbis_tpu.utils import relay
+
+
+def test_probe_dead_port(monkeypatch):
+    # bind-then-close yields a port with nothing listening
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    monkeypatch.setattr(relay, "_RELAY_ADDR", ("127.0.0.1", port))
+    assert relay.tpu_link_alive(timeout=1.0) is False
+
+
+def test_probe_live_port(monkeypatch):
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    def _accept():
+        try:
+            conn, _ = srv.accept()
+            conn.close()
+        except OSError:
+            pass  # server socket closed at test end
+
+    t = threading.Thread(target=_accept, daemon=True)
+    t.start()
+    try:
+        monkeypatch.setattr(relay, "_RELAY_ADDR", ("127.0.0.1", port))
+        assert relay.tpu_link_alive(timeout=1.0) is True
+    finally:
+        srv.close()
+
+
+def test_backend_safe_without_plugin(monkeypatch):
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    assert relay.jax_backend_safe() is True
+
+
+def test_auto_falls_back_to_oracle(fixture_dir, monkeypatch):
+    monkeypatch.setattr(relay, "jax_backend_safe", lambda: False)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        r = nv.VorbisReader(str(fixture_dir / "1test.ogg"))
+    # decodes fully on the oracle pipeline, no device touch
+    pcm = r.read_all()
+    assert len(pcm) > 0 and np.isfinite(pcm).all()
+    r.dispose()
+
+
+def test_explicit_jax_raises(fixture_dir, monkeypatch):
+    monkeypatch.setattr(relay, "jax_backend_safe", lambda: False)
+    with pytest.raises(RuntimeError, match="relay"):
+        nv.VorbisReader(str(fixture_dir / "1test.ogg"), engine="jax")
+
+
+def test_batch_decoder_raises(fixture_dir, monkeypatch):
+    from nvorbis_tpu.parallel.batch import BatchDecoder
+
+    monkeypatch.setattr(relay, "jax_backend_safe", lambda: False)
+    raw = open(fixture_dir / "1test.ogg", "rb").read()
+    with pytest.raises(RuntimeError, match="relay"):
+        BatchDecoder([raw]).decode_all()
