@@ -1,14 +1,21 @@
-"""Benchmark: decoded audio seconds per wall second per chip (x-realtime).
+"""Benchmark harness: the five BASELINE configs + the headline metric.
 
-Decodes a long-form stereo 44.1 kHz stream (synthesized once from the
-reference fixture by repeating its audio packets with consistent window
-flags and regenerated granules/CRCs — see nvorbis_tpu/testgen/ogg_writer.py)
-end-to-end: Ogg container -> C++ host bit-plane -> fused batched device
-synthesis + device-side overlap-add -> chunked PCM fetch.
+stdout carries exactly ONE JSON line — the headline metric
+(``decode_throughput_stereo_44k1_longform_batch``, x-realtime per chip vs
+the 500x north-star target).  Each BASELINE config additionally emits one
+JSON line on stderr (the driver's tail captures both streams):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is the ratio against the 500x-realtime north-star target
-(the reference publishes no numbers; see BASELINE.md).
+  1. decode_1test_wav          — 1test.ogg decode-to-WAV latency config
+  2. longform_batch (headline) — N long-form stereo 44.1 kHz streams
+  3. chained_seek              — granule-exact seeks/sec on a chained file
+  4. surround51_48k_residue2   — 5.1 @ 48 kHz coupled Residue2 synthetic
+  5. batch64                   — 64-stream co-batched aggregate throughput
+
+Env knobs: NVT_BENCH_STREAMS (headline batch width, default 8),
+NVT_BENCH_REPS (timed reps, default 2), NVT_BENCH_CONFIGS
+(comma-separated subset), NVT_BENCH_BUDGET (wall seconds for the optional
+configs, default 1500), NVT_FETCH_INT16=1 (lossy 16-bit PCM transport —
+halves device->host bytes through a bandwidth-capped link).
 """
 
 import json
@@ -17,6 +24,31 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+SRC_FIXTURE = "/root/reference/TestFiles/3test.ogg"
+SRC_1TEST = "/root/reference/TestFiles/1test.ogg"
+CACHE_DIR = "/root/repo/.benchcache"
+REPEATS = 64  # ~7 minutes of stereo 44.1 kHz audio
+TARGET_X_REALTIME = 500.0
+
+N_STREAMS = int(os.environ.get("NVT_BENCH_STREAMS", "8"))
+REPS = int(os.environ.get("NVT_BENCH_REPS", "2"))
+BUDGET = float(os.environ.get("NVT_BENCH_BUDGET", "1500"))
+CONFIGS = [c for c in os.environ.get(
+    "NVT_BENCH_CONFIGS",
+    "longform_batch,decode_1test_wav,chained_seek,surround51_48k,batch64",
+).split(",") if c]
+
+_T0 = time.perf_counter()
+
+
+def _emit(line, final=False):
+    out = sys.stdout if final else sys.stderr
+    print(json.dumps(line), file=out, flush=True)
+
+
+def _budget_left():
+    return BUDGET - (time.perf_counter() - _T0)
 
 
 def _enable_compile_cache():
@@ -28,100 +60,193 @@ def _enable_compile_cache():
     except Exception:
         pass
 
-SRC_FIXTURE = "/root/reference/TestFiles/3test.ogg"
-CACHE_DIR = "/root/repo/.benchcache"
-REPEATS = 64  # ~7 minutes of stereo 44.1 kHz audio
-TARGET_X_REALTIME = 500.0
 
-
-def get_fixture():
+def _long_fixture(repeats=REPEATS):
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"long3_x{REPEATS}.ogg")
+    path = os.path.join(CACHE_DIR, f"long3_x{repeats}.ogg")
     if not os.path.exists(path):
         from nvorbis_tpu.testgen.ogg_writer import make_long_stream
 
-        make_long_stream(SRC_FIXTURE, REPEATS, path)
+        make_long_stream(SRC_FIXTURE, repeats, path)
     return path
 
 
-N_STREAMS = int(os.environ.get("NVT_BENCH_STREAMS", "4"))
-REPS = int(os.environ.get("NVT_BENCH_REPS", "2"))
-
-
 def _tpu_link_alive() -> bool:
-    """Fast-fail probe of the TPU tunnel relay: when the relay is down,
-    jax backend init hangs forever instead of erroring (see NOTES.md), so
-    a hung bench would tell the driver nothing.  Non-axon environments
-    (no relay configured) pass trivially."""
     from nvorbis_tpu.utils.relay import jax_backend_safe
 
     return jax_backend_safe()
 
 
-def decode_once(raw, engine):
-    import nvorbis_tpu as nv
-
-    r = nv.VorbisReader(raw, engine=engine)
-    pcm = r.read_all()
-    audio_sec = len(pcm) / r.channels / r.sample_rate
-    r.dispose()
-    return audio_sec
-
-
 def decode_batch(raws):
+    """Aggregate decoded audio seconds via the co-batched plane."""
     from nvorbis_tpu.parallel.batch import BatchDecoder
 
-    outs = BatchDecoder(raws).decode_all()
-    return sum(len(o) / 2 / 44100 for o in outs)
+    bd = BatchDecoder(raws)
+    outs = bd.decode_all()
+    total = 0.0
+    for st, o in zip(bd._streams, outs):
+        total += len(o) / st.decoder.channels / st.decoder.sample_rate
+    return total
+
+
+def _timed_best(fn, reps=REPS):
+    best = 0.0
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        audio_sec = fn()
+        dt = time.perf_counter() - t0
+        best = max(best, audio_sec / dt)
+    return best
+
+
+def cfg_longform_batch():
+    raw = open(_long_fixture(), "rb").read()
+    raws = [raw] * N_STREAMS
+    decode_batch(raws)  # warm jit caches on the measured shapes
+    return {
+        "metric": "decode_throughput_stereo_44k1_longform_batch",
+        "value": round(_timed_best(lambda: decode_batch(raws)), 3),
+        "unit": "x_realtime_per_chip",
+        "streams": N_STREAMS,
+    }
+
+
+def cfg_decode_1test_wav():
+    import tempfile
+
+    import nvorbis_tpu as nv
+    from nvorbis_tpu.wave_io import write_wav
+
+    def once():
+        r = nv.VorbisReader(SRC_1TEST)
+        pcm = r.read_all()
+        audio_sec = len(pcm) / r.channels / r.sample_rate
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            write_wav(f.name, pcm, r.sample_rate, r.channels)
+        r.dispose()
+        return audio_sec
+
+    once()  # warm
+    return {
+        "metric": "decode_1test_to_wav",
+        "value": round(_timed_best(once, reps=3), 3),
+        "unit": "x_realtime_per_chip",
+    }
+
+
+def cfg_chained_seek():
+    import numpy as np
+
+    import nvorbis_tpu as nv
+    from nvorbis_tpu.testgen.ogg_writer import make_chained_stream
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, "chained3_x4.ogg")
+    if not os.path.exists(path):
+        make_chained_stream(SRC_FIXTURE, 4, path, repeats=4)
+
+    r = nv.VorbisReader(path)
+    total = r.total_samples
+    rng = np.random.default_rng(0)
+    targets = rng.integers(0, max(1, total - 44100), size=24)
+    buf = np.zeros(4096 * r.channels, dtype=np.float32)
+
+    # parity first: every seek must land granule-exact
+    r.sample_position = int(targets[0])
+    assert r.sample_position == int(targets[0])
+
+    n_seeks = 0
+    t0 = time.perf_counter()
+    for tgt in targets:
+        r.sample_position = int(tgt)
+        r.read_samples(buffer=buf)
+        n_seeks += 1
+    dt = time.perf_counter() - t0
+    r.dispose()
+    return {
+        "metric": "chained_seek_read",
+        "value": round(n_seeks / dt, 2),
+        "unit": "seeks_per_sec",
+    }
+
+
+def cfg_surround51_48k():
+    import numpy as np
+
+    from nvorbis_tpu.testgen.vorbis_writer import make_simple_spec
+
+    spec = make_simple_spec(
+        channels=6, sample_rate=48000, residue_type=2,
+        couplings=[(0, 1), (2, 3), (4, 5)],
+    )
+    blob = spec.build_stream(np.random.default_rng(1), 4096)
+    raws = [blob] * 4
+    decode_batch(raws)  # warm
+    return {
+        "metric": "decode_throughput_51_48k_residue2",
+        "value": round(_timed_best(lambda: decode_batch(raws), reps=1), 3),
+        "unit": "x_realtime_per_chip",
+        "streams": 4,
+    }
+
+
+def cfg_batch64():
+    raw = open(_long_fixture(repeats=8), "rb").read()
+    raws = [raw] * 64
+    decode_batch(raws)  # warm
+    return {
+        "metric": "decode_throughput_64stream_batch",
+        "value": round(_timed_best(lambda: decode_batch(raws), reps=1), 3),
+        "unit": "x_realtime_per_chip",
+        "streams": 64,
+    }
+
+
+_CFG_FNS = {
+    "longform_batch": cfg_longform_batch,
+    "decode_1test_wav": cfg_decode_1test_wav,
+    "chained_seek": cfg_chained_seek,
+    "surround51_48k": cfg_surround51_48k,
+    "batch64": cfg_batch64,
+}
 
 
 def main():
+    headline = {
+        "metric": "decode_throughput_stereo_44k1_longform_batch",
+        "value": 0.0,
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": 0.0,
+    }
     if not _tpu_link_alive():
-        print(
-            json.dumps(
-                {
-                    "metric": "decode_throughput_stereo_44k1_longform_batch",
-                    "value": 0.0,
-                    "unit": "x_realtime_per_chip",
-                    "vs_baseline": 0.0,
-                }
-            )
-        )
         print("TPU tunnel relay is down (connection refused on :8082); "
               "jax init would hang — aborting bench.", file=sys.stderr)
+        _emit(headline, final=True)
         return
     _enable_compile_cache()
-    engine = "oracle" if "--oracle" in sys.argv else "jax"
-    raw = open(get_fixture(), "rb").read()
 
-    # warmup populates jit + persistent compilation caches; the batch path
-    # warms on the *measured* input so chunk shapes (and therefore every
-    # compiled program) are identical in the timed reps
-    if engine == "oracle":
-        decode_once(open(SRC_FIXTURE, "rb").read(), engine)
-    else:
-        decode_batch([raw] * N_STREAMS)
-
-    best = 0.0
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        if engine == "oracle":
-            audio_sec = decode_once(raw, engine)
+    for name in CONFIGS:
+        fn = _CFG_FNS.get(name)
+        if fn is None:
+            print(f"unknown bench config {name!r}", file=sys.stderr)
+            continue
+        if name != "longform_batch" and _budget_left() <= 0:
+            _emit({"metric": name, "skipped": "budget exhausted"})
+            continue
+        try:
+            line = fn()
+        except Exception as e:  # one config must not kill the rest
+            _emit({"metric": name, "error": f"{type(e).__name__}: {e}"})
+            continue
+        if "x_realtime" in line.get("unit", ""):
+            line["vs_baseline"] = round(line["value"] / TARGET_X_REALTIME, 4)
         else:
-            audio_sec = decode_batch([raw] * N_STREAMS)
-        dt = time.perf_counter() - t0
-        best = max(best, audio_sec / dt)
+            line["vs_baseline"] = None
+        _emit(line)
+        if line["metric"] == headline["metric"] and "error" not in line:
+            headline = line
 
-    print(
-        json.dumps(
-            {
-                "metric": "decode_throughput_stereo_44k1_longform_batch",
-                "value": round(best, 3),
-                "unit": "x_realtime_per_chip",
-                "vs_baseline": round(best / TARGET_X_REALTIME, 4),
-            }
-        )
-    )
+    _emit(headline, final=True)
 
 
 if __name__ == "__main__":

@@ -606,7 +606,7 @@ class BulkDecoder:
 
         # async chunked fetch: the device->host copy of this chunk overlaps
         # the host unpack + dispatch of the next one
-        from nvorbis_tpu.utils.fetch import fetch_np
+        from nvorbis_tpu.utils.fetch import fetch_pcm
 
         # device-side slice to the fetch quantum: per-L_real shapes would
         # each compile, but L_QUANTUM multiples repeat across chunks
@@ -614,6 +614,6 @@ class BulkDecoder:
         out_f = out[:L_fetch] if L_fetch != L_pad else out
 
         def finish():
-            return fetch_np(out_f)[:L_real].reshape(-1)
+            return fetch_pcm(out_f)[:L_real].reshape(-1)
 
         return finish

@@ -8,6 +8,7 @@ NVorbis/Ogg/ForwardOnlyPageReader.cs.
 """
 
 import io
+import threading
 
 from nvorbis_tpu.ogg.pages import PageScanner, read_page_at, FLAG_END_OF_STREAM
 from nvorbis_tpu.ogg.page_index import StreamPageIndex
@@ -22,6 +23,11 @@ class _PhysicalReaderBase:
         self._ignored_serials = set()
         self.container_bits = 0
         self._extra_waste_bits = 0
+        # shared-container page reads are serialized, as in the reference
+        # (PageReader.cs:95-113 Monitor): decoders for different logical
+        # streams of one container may pull packets from separate threads.
+        # Reentrant: _add_page callbacks (header parse) read further pages.
+        self._lock = threading.RLock()
 
     @property
     def waste_bits(self) -> int:
@@ -32,19 +38,20 @@ class _PhysicalReaderBase:
 
         Reference: PageReaderBase.ReadNextPage (227-292).
         """
-        while True:
-            page = self._scanner.next_page()
-            if page is None:
-                self._set_end_of_streams()
-                return False
-            if page.serial in self._ignored_serials:
+        with self._lock:
+            while True:
+                page = self._scanner.next_page()
+                if page is None:
+                    self._set_end_of_streams()
+                    return False
+                if page.serial in self._ignored_serials:
+                    self._extra_waste_bits += len(page.buf) * 8
+                    continue
+                if self._add_page(page):
+                    self.container_bits += 8 * page.overhead
+                    return True
+                self._ignored_serials.add(page.serial)
                 self._extra_waste_bits += len(page.buf) * 8
-                continue
-            if self._add_page(page):
-                self.container_bits += 8 * page.overhead
-                return True
-            self._ignored_serials.add(page.serial)
-            self._extra_waste_bits += len(page.buf) * 8
 
     def _add_page(self, page) -> bool:
         raise NotImplementedError
@@ -82,6 +89,7 @@ class SeekablePageReader(_PhysicalReaderBase):
             idx._raw_cache[idx.page_count - 1] = page
             idx._cache_order.append(idx.page_count - 1)
             provider = PacketProvider(idx, page.serial)
+            idx.packet_provider = provider
             self._stream_indexes[page.serial] = idx
             if not self._new_stream_callback(provider):
                 # the callback itself may have read to this stream's EOS page
@@ -93,7 +101,8 @@ class SeekablePageReader(_PhysicalReaderBase):
     def read_page_at(self, offset: int):
         # the scanner re-seeks to its own window before each fill, so it is
         # safe to move the stream here
-        return read_page_at(self._stream, offset)
+        with self._lock:
+            return read_page_at(self._stream, offset)
 
     def _set_end_of_streams(self) -> None:
         for idx in self._stream_indexes.values():
@@ -174,7 +183,12 @@ class ContainerReader:
     def _process_new_stream(self, packet_provider) -> bool:
         cb = self.new_stream_callback
         if cb is None or cb(packet_provider):
-            self._packet_providers.append(packet_provider)
+            # weak reference, as in the reference (ContainerReader.cs:73,127):
+            # an abandoned chained-stream provider (its decoder disposed and
+            # its serial retired from the page reader) must be collectable
+            import weakref
+
+            self._packet_providers.append(weakref.ref(packet_provider))
             self._found_stream = True
             return True
         return False
@@ -194,7 +208,16 @@ class ContainerReader:
         return False
 
     def get_streams(self):
-        return list(self._packet_providers)
+        """Live packet providers; collected ones are pruned
+        (ContainerReader.cs:123-138)."""
+        alive, live_refs = [], []
+        for ref in self._packet_providers:
+            pp = ref()
+            if pp is not None:
+                alive.append(pp)
+                live_refs.append(ref)
+        self._packet_providers = live_refs
+        return alive
 
     # -- stats ---------------------------------------------------------------
 

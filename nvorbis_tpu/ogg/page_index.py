@@ -36,6 +36,11 @@ class StreamPageIndex:
     def __init__(self, physical_reader, serial: int):
         self._reader = physical_reader  # SeekablePageReader
         self.serial = serial
+        # strong ref to this stream's packet provider, as in the reference
+        # (StreamPageReader.cs:9,_packetProvider): the container holds only
+        # weak refs, so the provider must live exactly as long as its index
+        # is routed (until EOS removal) or user code references it
+        self.packet_provider = None
         self._offsets = []  # negative => resync page (StreamPageReader.cs:77-86)
         self._last_seq = 0
         self._first_data_page_index = None

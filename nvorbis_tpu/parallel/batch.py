@@ -35,7 +35,7 @@ from nvorbis_tpu.engine.bulk import (
 from nvorbis_tpu.synth.device import synth_spectra, floor1_bin_map, _XS_PAD
 from nvorbis_tpu.synth.oracle import imdct_basis
 from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
-from nvorbis_tpu.utils.fetch import fetch_np
+from nvorbis_tpu.utils.fetch import fetch_pcm
 
 CHUNK_FRAMES = 8192
 
@@ -764,7 +764,7 @@ class BatchDecoder:
         out_f = out[:L_fetch] if L_fetch != L_pad else out
 
         def finish():
-            host = fetch_np(out_f)
+            host = fetch_pcm(out_f)
             for st, off, length in ranges:
                 st.out.append(host[off : off + length].reshape(-1))
 

@@ -132,6 +132,54 @@ class VorbisReader:
             or new_decoder.sample_rate != old_decoder.sample_rate
         )
 
+    # -- obsolete 0.9-era API compat (VorbisReader.cs:156-210, 369) -------------
+
+    @property
+    def vendor(self) -> str:
+        """Deprecated: use ``tags.encoder_vendor`` (VorbisReader.cs:157)."""
+        return self._stream_decoder.tags.encoder_vendor
+
+    @property
+    def comments(self):
+        """Deprecated: flat ``KEY=value`` list; use ``tags.all``
+        (VorbisReader.cs:163)."""
+        return [
+            f"{key}={item}"
+            for key, items in self._stream_decoder.tags.all.items()
+            for item in items
+        ]
+
+    @property
+    def is_parameter_change(self) -> bool:
+        """Unsupported, as in the reference (VorbisReader.cs:169): parameter
+        changes surface as a *new stream* instead."""
+        raise NotImplementedError(
+            "No longer supported. Will receive a new stream when parameters "
+            "change."
+        )
+
+    def clear_parameter_change(self) -> None:
+        """Unsupported, as in the reference (VorbisReader.cs:369)."""
+        raise NotImplementedError("No longer needed.")
+
+    @property
+    def decoded_time(self) -> float:
+        """Deprecated: use ``time_position`` (VorbisReader.cs:195-200)."""
+        return self._stream_decoder.time_position
+
+    @decoded_time.setter
+    def decoded_time(self, value: float):
+        self.time_position = value
+
+    @property
+    def decoded_position(self) -> int:
+        """Deprecated: use ``sample_position`` (VorbisReader.cs:205-210)."""
+        return self._stream_decoder.sample_position
+
+    @decoded_position.setter
+    def decoded_position(self, value: int):
+        self.sample_position = value
+
     # -- convenience properties (first/selected stream) ---------------------------
 
     @property

@@ -14,7 +14,7 @@ class StreamStats:
         self.reset_stats()
 
     def reset_stats(self):
-        with getattr(self, "_lock", threading.Lock()):
+        with self._lock:
             self._packet_bits = [0, 0]
             self._packet_samples = [0, 0]
             self._packet_index = 0
