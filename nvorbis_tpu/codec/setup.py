@@ -113,6 +113,44 @@ class Setup:
     )
 
 
+# Header-keyed setup cache.  libvorbis-family encoders ship *static*
+# codebook sets per quality preset, so files encoded with the same settings
+# carry byte-identical setup headers; a fleet decoding many such streams
+# (the 64-stream batch plane) parses the codebooks/floors/residues once.
+# Setup objects are immutable after parse, so sharing is safe; clear() is
+# for tests that monkeypatch a parsed component in place.
+_setup_cache = {}
+_SETUP_CACHE_MAX = 16
+
+
+def setup_cache_clear():
+    _setup_cache.clear()
+
+
+def parse_setup_header_cached(packet, id_header):
+    """Cached :func:`parse_setup_header`.
+
+    Returns ``(setup, header_bits_read, header_bits_remaining)`` — the bit
+    counts are replayed from the original parse so StreamStats header-bit
+    accounting is identical on cache hits (the packet is not consumed).
+    """
+    key = (
+        bytes(packet.data), id_header.channels, id_header.sample_rate,
+        id_header.block0_size, id_header.block1_size,
+    )
+    hit = _setup_cache.get(key)
+    if hit is not None:
+        return hit
+    stp = parse_setup_header(packet, id_header)
+    if stp is None:
+        return None, 0, 0
+    entry = (stp, packet.bits_read, packet.bits_remaining)
+    if len(_setup_cache) >= _SETUP_CACHE_MAX:
+        _setup_cache.pop(next(iter(_setup_cache)))
+    _setup_cache[key] = entry
+    return entry
+
+
 def parse_setup_header(packet, id_header):
     """Parse the setup header and build all codec components.
 

@@ -152,6 +152,99 @@ class StreamPlanner:
         return plan
 
 
+def plan_window(planner, start, valid, total, gran, has_gran, eos, blocks):
+    """Vectorized :meth:`StreamPlanner.add` over one all-good window.
+
+    Preconditions (caller guarantees ok=True and no resync for every
+    packet; this function checks the rest): planner not mid-drain, eos
+    only at the window's last packet, and the previous-frame tail clamp a
+    no-op everywhere.  Returns a list of FramePlan, or None when a
+    precondition fails — the caller then replays the window through the
+    sequential ``add`` loop, which owns every edge case.
+
+    All arithmetic mirrors ``add`` exactly: A is the cumulative sum of
+    consumed spans, the end-trim uses the pre-pickup position, and the
+    granule pickup fires at the first granule-bearing packet.
+    """
+    n = len(start)
+    if n == 0:
+        return [], np.zeros(0, dtype=np.int64)
+    if planner.prev_drained and planner.prev is not None:
+        return None
+    if eos[:-1].any() if n > 1 else False:
+        return None
+
+    start = start.astype(np.int64)
+    valid = valid.astype(np.int64)
+    total = total.astype(np.int64)
+    vs = valid - start
+
+    if planner.prev is None:
+        A0 = -int(vs[0])
+        samples0 = 0
+        p_valid0 = p_total0 = None
+    else:
+        pA, ps, pv, pt = planner.prev
+        A0 = pA + (pv - ps)
+        samples0 = int(vs[0])
+        p_valid0, p_total0 = pv, pt
+
+    # previous-tail clamp must be a no-op (spec-valid window sequences):
+    # prev.total <= prev.valid + max(0, min(block - start, valid - start))
+    room_cap = np.maximum(0, np.minimum(blocks - start, vs))
+    if p_total0 is not None and p_total0 > p_valid0 + int(room_cap[0]):
+        return None
+    if n > 1 and (total[:-1] > valid[:-1] + room_cap[1:]).any():
+        return None
+
+    A = np.empty(n, dtype=np.int64)
+    A[0] = A0
+    if n > 1:
+        np.cumsum(vs[:-1], out=A[1:])
+        A[1:] += A0
+    samples = vs.copy()
+    samples[0] = samples0
+
+    # end-trim at the final packet (granule + eos), pre-pickup position
+    trim_valid = int(valid[n - 1])
+    if eos[n - 1] and has_gran[n - 1]:
+        actual_end = planner.stream_pos0 + int(A[n - 1]) + int(samples[n - 1])
+        diff = int(gran[n - 1]) - actual_end
+        if diff < 0:
+            # the trim must not also be the pickup packet pre-pickup: when
+            # position is still unknown the sequential path trims against
+            # the default position — replicate by falling back
+            if not planner.has_position:
+                return None
+            trim_valid += diff
+            samples[n - 1] += diff
+            valid = valid.copy()
+            valid[n - 1] = trim_valid
+
+    # granule position pickup at the first granule-bearing packet
+    if not planner.has_position:
+        idx = np.flatnonzero(has_gran)
+        if len(idx):
+            k = int(idx[0])
+            planner.has_position = True
+            planner.stream_pos0 = (
+                int(gran[k]) - int(samples[k]) - int(A[k])
+            )
+
+    plans = [
+        FramePlan(True, int(A[i]), int(start[i]), int(valid[i]),
+                  int(total[i]), int(samples[i]))
+        for i in range(n)
+    ]
+    planner.prev = (int(A[n - 1]), int(start[n - 1]), int(valid[n - 1]),
+                    int(total[n - 1]))
+    planner.prev_drained = False
+    planner.first = False
+    planner.eos_found |= bool(eos[n - 1])
+    planner.emitted = int(A[n - 1]) + int(valid[n - 1]) - int(start[n - 1])
+    return plans, samples
+
+
 def _round_up(x, q):
     return -(-x // q) * q
 
@@ -196,8 +289,10 @@ def _bulk_program(cfg):
                  window_index, xs, windows, basis, sl,
                  g_t, d_t, vb_t, dm_t, mg_t) = flat[i : i + 16]
                 i += 16
+                # classes travel as uint8 (4x fewer upload bytes through a
+                # bandwidth-capped link); widen on device
                 residue = reconstruct_spectrum(
-                    classes, ids_flat, frame_base,
+                    classes.astype(jnp.int32), ids_flat, frame_base,
                     (g_t, d_t, vb_t, dm_t, mg_t), st, C,
                 )
             else:
@@ -524,7 +619,7 @@ class BulkDecoder:
                     ("s", B_pad, n, synth.coupling_steps, st, N_pad)
                 )
                 args.extend([
-                    jnp.asarray(cls_b.astype(np.int32)), jnp.asarray(flat),
+                    jnp.asarray(cls_b), jnp.asarray(flat),
                     jnp.asarray(base_b),
                     jnp.asarray(ys_b), jnp.asarray(used_b),
                     jnp.asarray(hf_b), jnp.asarray(widx_b),

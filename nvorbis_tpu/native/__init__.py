@@ -99,6 +99,14 @@ def load():
             ]
             lib.nvt_crc32.restype = ctypes.c_uint32
             lib.nvt_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            lib.nvt_packetize.restype = ctypes.c_int64
+            lib.nvt_packetize.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p,
+            ]
             lib.nvt_unpack_window_sym.argtypes = [
                 ctypes.c_void_p,  # setup
                 ctypes.c_void_p,  # bytes
@@ -120,6 +128,47 @@ def load():
             _lib_failed = True
             return None
     return _lib
+
+
+PKT_EOS = 1      # flag bits returned by packetize
+PKT_HAS_GRANULE = 2
+
+
+def packetize(container_bytes, serial: int):
+    """Fast-lane whole-stream packetization of one logical stream.
+
+    One C++ pass over the container: page scan + CRC + lacing walk +
+    continuation stitching (host_decode.cpp nvt_packetize).  Returns
+    ``(data, offsets, granules, flags, overhead)`` — packet ``i`` is
+    ``data[offsets[i]:offsets[i+1]]`` — or ``None`` on any anomaly
+    (corruption, resync, sequence gap) or when the native plane is
+    unavailable; callers then use the Python provider, which owns the
+    reference's recovery semantics."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(container_bytes, dtype=np.uint8)
+    n_bytes = np.zeros(1, dtype=np.int64)
+    n = lib.nvt_packetize(
+        buf.ctypes.data, buf.size, serial, None, 0,
+        None, None, None, None, 0, n_bytes.ctypes.data,
+    )
+    if n < 0:
+        return None
+    n = int(n)
+    data = np.empty(int(n_bytes[0]), dtype=np.uint8)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    granules = np.full(n, -1, dtype=np.int64)
+    flags = np.zeros(n, dtype=np.int32)
+    overhead = np.zeros(n, dtype=np.int32)
+    n2 = lib.nvt_packetize(
+        buf.ctypes.data, buf.size, serial, data.ctypes.data, data.size,
+        offsets.ctypes.data, granules.ctypes.data, flags.ctypes.data,
+        overhead.ctypes.data, n, None,
+    )
+    if n2 != n:
+        return None
+    return data, offsets, granules, flags, overhead
 
 
 def serialize_setup(setup, max_posts):
@@ -258,12 +307,17 @@ class NativeUnpacker:
 
     def unpack(self, packets, n_threads=0):
         B = len(packets)
-        C, P, n2 = self.channels, self.max_posts, self.n2max
         offsets = np.zeros(B + 1, dtype=np.int64)
         for i, pk in enumerate(packets):
             offsets[i + 1] = offsets[i] + len(pk)
         data = b"".join(packets)
         buf = np.frombuffer(data, dtype=np.uint8)
+        return self.unpack_view(buf, offsets, n_threads)
+
+    def unpack_view(self, buf, offsets, n_threads=0):
+        """Zero-copy variant of :meth:`unpack` (see unpack_sym_view)."""
+        B = len(offsets) - 1
+        C, P, n2 = self.channels, self.max_posts, self.n2max
 
         residue = np.zeros((B, C, n2), dtype=np.float32)
         ys = np.zeros((B, C, P), dtype=np.int32)
@@ -293,13 +347,22 @@ class NativeUnpacker:
         Requires ``sym_plans`` (caller checks).
         """
         B = len(packets)
-        C, P = self.channels, self.max_posts
-        n_part_max, chr_max, max_ids = self._sym_geom
         offsets = np.zeros(B + 1, dtype=np.int64)
         for i, pk in enumerate(packets):
             offsets[i + 1] = offsets[i] + len(pk)
         data = b"".join(packets)
         buf = np.frombuffer(data, dtype=np.uint8)
+        return self.unpack_sym_view(buf, offsets, n_threads)
+
+    def unpack_sym_view(self, buf, offsets, n_threads=0):
+        """Zero-copy variant of :meth:`unpack_sym`: ``buf`` is a uint8 array
+        holding the packets back to back and ``offsets`` their [B+1]
+        boundaries (offsets[0] == 0) — exactly the layout
+        :func:`packetize` returns, so the table fast path skips re-joining
+        packet bytes."""
+        B = len(offsets) - 1
+        C, P = self.channels, self.max_posts
+        n_part_max, chr_max, max_ids = self._sym_geom
 
         classes = np.zeros((B, chr_max, n_part_max), dtype=np.uint8)
         ids = np.zeros((B, max_ids), dtype=np.int16)

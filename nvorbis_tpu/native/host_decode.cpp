@@ -795,6 +795,190 @@ uint32_t nvt_crc32(const uint8_t* data, int64_t n) {
   return crc;
 }
 
+// Whole-container packetizer for one logical stream — the clean-path fast
+// lane behind the batch/bulk decoders.  Walks the pages of `serial` in one
+// pass (CRC-verified), stitches continued packets across pages (including
+// pages of other serials interleaved between them), and emits a packed
+// payload blob + per-packet tables.  The Python page/packet machinery
+// (ogg/pages.py, ogg/packets.py — reference semantics incl. recovery,
+// PacketProvider.cs:324-438) stays the source of truth: this function
+// returns -1 on ANY anomaly (byte-level resync, CRC mismatch, sequence
+// gap, version != 0, broken continuation, truncated page) and the caller
+// falls back to the robust path.
+//
+// Semantics mirrored from ogg/packets.py for clean streams:
+//   * zero-size packets are not packets (lacing 0 completes nothing);
+//   * the page granule belongs to the last packet *completing* in the page;
+//   * per-page overhead bytes (27 + nseg) attach to the packet *starting*
+//     at the page's first slot — i.e. the carried packet for continuation
+//     pages — and empty pages' overhead is not attributed;
+//   * a final unterminated carry is dropped;
+//   * the last emitted packet is flagged end-of-stream.
+//
+// out_flags bits: 1 = end-of-stream, 2 = granule valid.
+// When out_data == nullptr the call only counts (n_packets via return,
+// payload bytes via *count_bytes).  Returns n_packets, or -1 (anomaly) /
+// -2 (capacity: out_cap or max_pkts too small).
+int64_t nvt_packetize(const uint8_t* data, int64_t len, uint32_t serial,
+                      uint8_t* out_data, int64_t out_cap,
+                      int64_t* out_off, int64_t* out_gran,
+                      int32_t* out_flags, int32_t* out_ovh,
+                      int64_t max_pkts, int64_t* count_bytes) {
+  const bool counting = (out_data == nullptr);
+  int64_t n_pkts = 0;
+  int64_t payload = 0;
+  bool have_seq = false;
+  uint32_t last_seq = 0;
+  bool ended = false;
+
+  // pending continued packet: list of (src offset, length) spans
+  std::vector<std::pair<int64_t, int64_t>> carry;
+  int64_t carry_bytes = 0;
+  int32_t carry_ovh = 0;
+
+  auto emit = [&](int64_t gran, int32_t flags, int32_t ovh) -> bool {
+    if (!counting) {
+      if (n_pkts >= max_pkts) return false;
+      int64_t off = (n_pkts == 0) ? 0 : out_off[n_pkts];
+      out_off[n_pkts] = off;
+      int64_t pos = off;
+      for (auto& sp : carry) {
+        if (pos + sp.second > out_cap) return false;
+        memcpy(out_data + pos, data + sp.first, (size_t)sp.second);
+        pos += sp.second;
+      }
+      out_off[n_pkts + 1] = pos;
+      out_gran[n_pkts] = gran;
+      out_flags[n_pkts] = flags;
+      out_ovh[n_pkts] = ovh;
+    }
+    payload += carry_bytes;
+    ++n_pkts;
+    carry.clear();
+    carry_bytes = 0;
+    carry_ovh = 0;
+    return true;
+  };
+
+  int64_t pos = 0;
+  while (!ended && pos < len) {
+    if (pos + 27 > len) return -1;  // trailing garbage / truncated header
+    if (memcmp(data + pos, "OggS", 4) != 0) return -1;  // resync needed
+    if (data[pos + 4] != 0) return -1;                  // version
+    const uint8_t flags = data[pos + 5];
+    int64_t granule;
+    memcpy(&granule, data + pos + 6, 8);
+    uint32_t pserial, seq;
+    memcpy(&pserial, data + pos + 14, 4);
+    memcpy(&seq, data + pos + 18, 4);
+    const int nseg = data[pos + 26];
+    const int64_t hdr = 27 + nseg;
+    if (pos + hdr > len) return -1;
+    int64_t body = 0;
+    for (int s = 0; s < nseg; ++s) body += data[pos + 27 + s];
+    const int64_t page_len = hdr + body;
+    if (pos + page_len > len) return -1;
+
+    if (counting) {
+      // CRC with the checksum field (bytes 22..25) zeroed, without copying
+      static const uint8_t zeros[4] = {0, 0, 0, 0};
+      uint32_t crc = 0;
+      {
+        // reuse nvt_crc32's table by streaming the three spans
+        // (prefix, zeros, rest) through the same update loop
+        static uint32_t table[256];
+        static bool init = false;
+        if (!init) {
+          for (uint32_t i = 0; i < 256; ++i) {
+            uint32_t c = i << 24;
+            for (int k = 0; k < 8; ++k)
+              c = (c & 0x80000000u) ? (c << 1) ^ 0x04c11db7u : (c << 1);
+            table[i] = c;
+          }
+          init = true;
+        }
+        auto upd = [&](const uint8_t* p, int64_t n) {
+          for (int64_t i = 0; i < n; ++i)
+            crc = (crc << 8) ^ table[p[i] ^ (crc >> 24)];
+        };
+        upd(data + pos, 22);
+        upd(zeros, 4);
+        upd(data + pos + 26, page_len - 26);
+      }
+      uint32_t stored;
+      memcpy(&stored, data + pos + 22, 4);
+      if (crc != stored) return -1;
+    }
+
+    if (pserial != serial) {  // other logical stream: skip its page
+      pos += page_len;
+      continue;
+    }
+    if (have_seq && seq != last_seq + 1) return -1;  // page gap
+    have_seq = true;
+    last_seq = seq;
+
+    const bool continues = (flags & 0x01) != 0;
+    if (continues != (carry_bytes > 0 || !carry.empty())) return -1;
+
+    // walk the lacing, emitting completed packets
+    int64_t doff = pos + hdr;
+    int64_t cur = 0;
+    int64_t cur_off = doff;
+    int64_t last_completed = -1;  // index of last packet completing here
+    bool first_slot_attributed = false;
+    const int32_t page_ovh = (int32_t)hdr;
+    if (!carry.empty() || carry_bytes > 0) {
+      // the carried packet owns this page's overhead
+      carry_ovh += page_ovh;
+      first_slot_attributed = true;
+    }
+    for (int s = 0; s < nseg; ++s) {
+      const int seg = data[pos + 27 + s];
+      cur += seg;
+      if (seg < 255) {
+        if (cur > 0) {
+          carry.push_back({cur_off, cur});
+          carry_bytes += cur;
+          int32_t ovh = carry_ovh;
+          if (!first_slot_attributed) {
+            ovh += page_ovh;
+            first_slot_attributed = true;
+          }
+          int64_t g = -1;
+          int32_t fl = 0;
+          // provisional; granule fixed after the page's walk
+          if (!emit(g, fl, ovh)) return -2;
+          last_completed = n_pkts - 1;
+        } else if (!first_slot_attributed && s == 0) {
+          // a leading zero-length lacing value still "starts" slot 0 but
+          // produces no packet; overhead stays unattributed (python parity)
+        }
+        cur_off += cur;
+        cur = 0;
+      }
+    }
+    if (cur > 0) {  // trailing partial: carry into the next page
+      carry.push_back({cur_off, cur});
+      carry_bytes += cur;
+      if (!first_slot_attributed) {
+        carry_ovh += page_ovh;
+        first_slot_attributed = true;
+      }
+    }
+    if (granule != -1 && last_completed >= 0 && !counting) {
+      out_gran[last_completed] = granule;
+      out_flags[last_completed] |= 2;
+    }
+    if (flags & 0x04) ended = true;  // end-of-stream page
+    pos += page_len;
+  }
+  // a final unterminated carry is dropped (ogg/packets.py:111-115 parity)
+  if (n_pkts > 0 && !counting) out_flags[n_pkts - 1] |= 1;  // eos
+  if (counting && count_bytes) *count_bytes = payload;
+  return n_pkts;
+}
+
 // Symbol-mode window unpack: residues come back as per-partition classes +
 // canonically-laid-out codebook entry ids (see residue symbol emission
 // above) instead of dense float spectra — an order-of-magnitude smaller

@@ -63,7 +63,7 @@ def _batch_program(cfg, mesh_key=None):
     classes [B,CHR,n_part], ids_flat [N_pad], frame_base [B] and append the
     five plan tables; then segE [S_pad+1], prim, sec, sec_len.
     """
-    C, L_pad, S_pad, buckets = cfg
+    C, L_pad, S_pad, buckets, clip = cfg
     n_max = max(b[2] for b in buckets)
 
     def fn(*flat):
@@ -78,8 +78,10 @@ def _batch_program(cfg, mesh_key=None):
                  tid, xs_t, win_t, basis, sl_t,
                  g_t, d_t, vb_t, dm_t, mg_t) = flat[i : i + 17]
                 i += 17
+                # classes travel as uint8 (4x fewer upload bytes through a
+                # bandwidth-capped link); widen on device
                 residue = reconstruct_spectrum(
-                    classes, ids_flat, frame_base,
+                    classes.astype(jnp.int32), ids_flat, frame_base,
                     (g_t, d_t, vb_t, dm_t, mg_t), st, C,
                 )
             else:
@@ -110,7 +112,11 @@ def _batch_program(cfg, mesh_key=None):
         live2 = t < jnp.take(sec_len, f)
         i2 = jnp.clip(jnp.take(sec, f) + t, 0, nrows - 1)
         b = jnp.where(live2[:, None], jnp.take(rows, i2, axis=0), 0.0)
-        return a + b
+        out = a + b
+        if clip:
+            # fused into the epilogue: saves a whole-output host clip pass
+            out = jnp.clip(out, -CLIP_LIMIT, CLIP_LIMIT)
+        return out
 
     if mesh_key is None:
         return jax.jit(fn)
@@ -144,6 +150,7 @@ class _StreamState:
     __slots__ = (
         "reader", "decoder", "native", "planner", "plans_tail", "carry",
         "chunk_base", "out", "done", "pcm", "table_ids", "last_plan",
+        "table", "pkt_idx", "ov_tab", "blk_tab", "out_pos",
     )
 
 
@@ -165,26 +172,78 @@ class BatchDecoder:
             _MESHES[self._mesh_key] = mesh
 
         self._streams = []
+        unpackers = {}  # id(setup) -> NativeUnpacker|None (setups are
+        # shared across same-header streams via the setup cache, and the
+        # unpacker is stateless per call, so one instance serves them all)
         for src in sources:
             st = _StreamState()
             st.reader = nv.VorbisReader(src, engine="oracle")
             st.decoder = st.reader._stream_decoder
-            try:
-                st.native = NativeUnpacker(
-                    st.decoder._setup, st.decoder._max_posts
-                )
-            except RuntimeError:
-                # no native plane (NVT_NO_NATIVE, missing toolchain) or a
-                # setup it cannot represent (Floor0): degrade this stream to
-                # the pure-Python host plane instead of failing the batch —
-                # the reference decodes such streams through the same
-                # pipeline as every other (NVorbis/Floor0.cs)
-                st.native = None
+            skey = id(st.decoder._setup)
+            if skey in unpackers:
+                st.native = unpackers[skey]
+            else:
+                try:
+                    st.native = NativeUnpacker(
+                        st.decoder._setup, st.decoder._max_posts
+                    )
+                except RuntimeError:
+                    # no native plane (NVT_NO_NATIVE, missing toolchain) or
+                    # a setup it cannot represent (Floor0): degrade this
+                    # stream to the pure-Python host plane instead of
+                    # failing the batch — the reference decodes such streams
+                    # through the same pipeline as every other (Floor0.cs)
+                    st.native = None
+                unpackers[skey] = st.native
+            # clean-path packet table: one C++ pass packetizes the whole
+            # logical stream (native/__init__.py packetize); any anomaly —
+            # corruption, resync, unbuffered source — keeps the Python
+            # provider, which owns the reference's recovery semantics
+            st.table = None
+            st.pkt_idx = 3  # past the id/comment/setup header packets
+            if st.native is not None:
+                raw_bytes = None
+                if isinstance(src, (bytes, bytearray)):
+                    raw_bytes = bytes(src)
+                elif isinstance(src, str):
+                    with open(src, "rb") as f:
+                        raw_bytes = f.read()
+                if raw_bytes is not None:
+                    from nvorbis_tpu.native import packetize
+
+                    table = packetize(
+                        raw_bytes, st.decoder._packet_provider.stream_serial
+                    )
+                    if table is not None and len(table[1]) - 1 >= 3:
+                        st.table = table
+            # vectorized (mode, window) -> (start, valid, total) and block
+            # size lookups for the windowed planner fast path
+            setup = st.decoder._setup
+            w_max = max(len(m.overlaps) for m in setup.modes)
+            st.ov_tab = np.zeros((len(setup.modes), w_max, 3), dtype=np.int64)
+            st.blk_tab = np.zeros(len(setup.modes), dtype=np.int64)
+            for mi, m in enumerate(setup.modes):
+                st.blk_tab[mi] = m.block_size
+                for wi, svt in enumerate(m.overlaps):
+                    st.ov_tab[mi, wi] = svt
             st.planner = StreamPlanner()
             st.carry = None
             st.last_plan = None
             st.chunk_base = 0
             st.out = []
+            st.out_pos = 0
+            st.pcm = None
+            if st.table is not None:
+                # final granule bounds the output (end-trim only shrinks):
+                # preallocate the stream's PCM so chunk fetches write in
+                # place — no end-of-decode concatenate pass
+                gran, fl = st.table[2], st.table[3]
+                with_g = gran[(fl & 2) != 0]
+                if len(with_g):
+                    bound = int(with_g[-1]) + setup.block1_size
+                    st.pcm = np.empty(
+                        bound * setup.channels, dtype=np.float32
+                    )
             st.done = False
             self._streams.append(st)
 
@@ -229,7 +288,7 @@ class BatchDecoder:
                 # host-plane fallback: decode this stream on its own
                 # (sequential numpy synthesis); co-batching requires the
                 # native symbol unpacker
-                st.reader.clip_samples = False
+                st.reader.clip_samples = self.clip_samples
                 st.out = [st.reader.read_all()]
                 st.done = True
                 continue
@@ -238,12 +297,16 @@ class BatchDecoder:
         for key, members in groups.items():
             self._decode_group(members)
 
+        # clipping happened on-device (program epilogue) or inside the
+        # fallback reader — no whole-output host pass here
         results = []
         for st in self._streams:
-            pcm = (np.concatenate(st.out) if st.out
-                   else np.zeros(0, dtype=np.float32))
-            if self.clip_samples and pcm.size:
-                np.clip(pcm, -CLIP_LIMIT, CLIP_LIMIT, out=pcm)
+            if st.pcm is not None:
+                pcm = st.pcm[: st.out_pos]
+            elif st.out:
+                pcm = st.out[0] if len(st.out) == 1 else np.concatenate(st.out)
+            else:
+                pcm = np.zeros(0, dtype=np.float32)
             results.append(pcm)
             st.reader.dispose()
         return results
@@ -388,37 +451,22 @@ class BatchDecoder:
         metas = []
         plans = []
 
-        # phase 1: pull raw packets per stream (python, GIL-bound)
-        jobs = []  # (stream, packets, raw bytes)
+        # phase 1: pull packet windows per stream.  Streams with a packet
+        # table (one prior C++ packetization pass) slice it with vectorized
+        # mode peeks; others walk the Python provider per packet.
+        jobs = []  # dicts: st, n, view|raws, granules, eos, resync, ovh_bits
         budget = CHUNK_FRAMES
         size_counts = {}
         for st in active:
             if st.done or budget <= 0:
                 continue
-            dec = st.decoder
-            setup = dec._setup
-            mfb = setup.mode_field_bits
-            nm = len(setup.modes)
-            packets = []
-            raw = []
-            while len(packets) < budget:
-                if size_counts and max(size_counts.values()) >= CAP_PER_SIZE:
-                    budget = 0
-                    break
-                p = dec._packet_provider.get_next_packet()
-                if p is None:
-                    st.done = True
-                    break
-                packets.append(p)
-                data = bytes(p.data)
-                raw.append(data)
-                mi = peek_mode_index(data, mfb)
-                if mi is not None and mi < nm:
-                    n = setup.modes[mi].block_size
-                    size_counts[n] = size_counts.get(n, 0) + 1
-            if packets:
-                budget -= len(packets)
-                jobs.append((st, packets, raw))
+            if size_counts and max(size_counts.values()) >= CAP_PER_SIZE:
+                break
+            job = (self._pull_table if st.table is not None
+                   else self._pull_provider)(st, budget, size_counts)
+            if job is not None:
+                budget -= job["n"]
+                jobs.append(job)
         if not jobs:
             return None
 
@@ -426,10 +474,15 @@ class BatchDecoder:
         # core releases the GIL and threads internally; multiple windows
         # in flight keep its pool fed when per-stream windows are small)
         def _unpack(job):
-            st, _, raw = job
+            st = job["st"]
+            view = job.get("view")
+            if view is not None:
+                if self._sym:
+                    return st.native.unpack_sym_view(*view)
+                return st.native.unpack_view(*view)
             if self._sym:
-                return st.native.unpack_sym(raw)
-            return st.native.unpack(raw)
+                return st.native.unpack_sym(job["raws"])
+            return st.native.unpack(job["raws"])
 
         with span("batch.unpack"):
             if len(jobs) == 1:
@@ -441,7 +494,8 @@ class BatchDecoder:
                     unpacked = list(ex.map(_unpack, jobs))
 
         # phase 3: per-packet lapping plans + stats (order-sensitive)
-        for (st, packets, raw), arrs in zip(jobs, unpacked):
+        for job, arrs in zip(jobs, unpacked):
+            st = job["st"]
             dec = st.decoder
             setup = dec._setup
             if self._sym:
@@ -450,7 +504,52 @@ class BatchDecoder:
                 ids_l.append(ids)
             else:
                 residue, ys, used, has_floor, meta = arrs
-            for i, p in enumerate(packets):
+            nj = job["n"]
+            eos = job["eos"]
+            ovh_bits = job["ovh_bits"]
+
+            # windowed fast path (table pulls only: no resync by
+            # construction): all packets good -> one vectorized plan pass
+            if (job.get("gran_arr") is not None
+                    and bool((meta[:nj, 0] == 1).all())):
+                from nvorbis_tpu.engine.bulk import plan_window
+
+                mode_ids = meta[:nj, 1]
+                widx = meta[:nj, 2]
+                svt = st.ov_tab[mode_ids, widx]  # [n, 3]
+                res = plan_window(
+                    st.planner, svt[:, 0], svt[:, 1], svt[:, 2],
+                    job["gran_arr"], job["has_gran"], eos,
+                    st.blk_tab[mode_ids],
+                )
+                if res is not None:
+                    new_plans, samples_arr = res
+                    st.last_plan = new_plans[-1]
+                    bits = meta[:nj, 3].astype(np.int64)
+                    totb = meta[:nj, 4].astype(np.int64)
+                    dec._stats.add_window(
+                        samples_arr, bits, totb - bits, ovh_bits
+                    )
+                    plans.extend(
+                        (st, p, meta[i]) for i, p in enumerate(new_plans)
+                    )
+                    if not self._sym:
+                        residues.append(residue)
+                    yss.append(ys)
+                    useds.append(used)
+                    hfs.append(has_floor)
+                    metas.append(meta)
+                    continue
+
+            granules = job["granules"]
+            if granules is None:  # table job falling back to the slow path
+                granules = [
+                    int(g) if h else None
+                    for g, h in zip(job["gran_arr"], job["has_gran"])
+                ]
+            resync = job["resync"]
+            s_samples, s_bits, s_waste, s_cont = [], [], [], []
+            for i in range(job["n"]):
                 ok = meta[i, 0] == 1
                 block_size = None
                 if ok:
@@ -461,7 +560,7 @@ class BatchDecoder:
                     start = valid = total = 0
                 plan = st.planner.add(
                     bool(ok), start, valid, total,
-                    p.granule_position, p.is_end_of_stream, p.is_resync,
+                    granules[i], bool(eos[i]), bool(resync[i]),
                     block_size=block_size, prev_plan=st.last_plan,
                 )
                 if plan.ok:
@@ -469,16 +568,16 @@ class BatchDecoder:
                 total_bits = int(meta[i, 4])
                 if plan.ok:
                     bits_read = int(meta[i, 3])
-                    dec._stats.add_packet(
-                        plan.samples, bits_read, total_bits - bits_read,
-                        p.container_overhead_bits,
-                    )
+                    s_samples.append(plan.samples)
+                    s_bits.append(bits_read)
+                    s_waste.append(total_bits - bits_read)
                 else:
-                    dec._stats.add_packet(
-                        0, 0, total_bits, p.container_overhead_bits
-                    )
-                p.done()
-                plans.append((st, plan, meta[i].copy()))
+                    s_samples.append(0)
+                    s_bits.append(0)
+                    s_waste.append(total_bits)
+                s_cont.append(int(ovh_bits[i]))
+                plans.append((st, plan, meta[i]))
+            dec._stats.add_window(s_samples, s_bits, s_waste, s_cont)
             if not self._sym:
                 residues.append(residue)
             yss.append(ys)
@@ -498,6 +597,104 @@ class BatchDecoder:
         else:
             chunk["residue"] = np.concatenate(residues)
         return chunk
+
+    def _pull_provider(self, st, budget, size_counts):
+        """Per-packet pull through the Python provider (robust path)."""
+        dec = st.decoder
+        setup = dec._setup
+        mfb = setup.mode_field_bits
+        nm = len(setup.modes)
+        raws, granules, eos, resync, ovh_bits = [], [], [], [], []
+        while len(raws) < budget:
+            if size_counts and max(size_counts.values()) >= CAP_PER_SIZE:
+                break
+            p = dec._packet_provider.get_next_packet()
+            if p is None:
+                st.done = True
+                break
+            data = bytes(p.data)
+            raws.append(data)
+            granules.append(p.granule_position)
+            eos.append(p.is_end_of_stream)
+            resync.append(p.is_resync)
+            ovh_bits.append(p.container_overhead_bits)
+            p.done()
+            mi = peek_mode_index(data, mfb)
+            if mi is not None and mi < nm:
+                n = setup.modes[mi].block_size
+                size_counts[n] = size_counts.get(n, 0) + 1
+        if not raws:
+            return None
+        return {
+            "st": st, "n": len(raws), "raws": raws, "granules": granules,
+            "eos": eos, "resync": resync, "ovh_bits": ovh_bits,
+        }
+
+    def _pull_table(self, st, budget, size_counts):
+        """Vectorized window slice out of the stream's packet table."""
+        from nvorbis_tpu.native import PKT_EOS, PKT_HAS_GRANULE
+
+        data, off, gran, flags, ovh = st.table
+        n_total = len(off) - 1
+        i0 = st.pkt_idx
+        if i0 >= n_total:
+            st.done = True
+            return None
+        setup = st.decoder._setup
+        mfb = setup.mode_field_bits
+        nm = len(setup.modes)
+        n_avail = min(budget, n_total - i0)
+
+        if mfb <= 7:
+            first = data[off[i0 : i0 + n_avail]]
+            mode_idx = (first >> 1) & ((1 << mfb) - 1)
+            valid = (first & 1) == 0
+        else:  # >128 modes: byte-spanning field, peek per packet (rare)
+            mode_idx = np.zeros(n_avail, dtype=np.int64)
+            valid = np.zeros(n_avail, dtype=bool)
+            for k in range(n_avail):
+                mi = peek_mode_index(
+                    data[off[i0 + k] : off[i0 + k] + 8].tobytes(), mfb
+                )
+                if mi is not None:
+                    mode_idx[k] = mi
+                    valid[k] = True
+        block_sizes = np.array(
+            [m.block_size for m in setup.modes], dtype=np.int64
+        )
+        valid = valid & (mode_idx < nm)
+        sizes = np.where(valid, block_sizes[np.minimum(mode_idx, nm - 1)], 0)
+
+        # per-size caps: include up to (and incl.) the packet that reaches
+        # CAP_PER_SIZE, matching the provider path's check-before-pull loop
+        k = n_avail
+        for s in np.unique(sizes[sizes > 0]):
+            base = size_counts.get(int(s), 0)
+            cum = np.cumsum(sizes == s) + base
+            if cum[-1] >= CAP_PER_SIZE:
+                k = min(k, int(np.argmax(cum >= CAP_PER_SIZE)) + 1)
+        sizes = sizes[:k]
+        for s in np.unique(sizes[sizes > 0]):
+            size_counts[int(s)] = (
+                size_counts.get(int(s), 0) + int((sizes == s).sum())
+            )
+        i1 = i0 + k
+        st.pkt_idx = i1
+        if i1 >= n_total:
+            st.done = True
+
+        fl = flags[i0:i1]
+        return {
+            "st": st, "n": k,
+            "view": (data[off[i0] : off[i1]],
+                     (off[i0 : i1 + 1] - off[i0]).astype(np.int64)),
+            "gran_arr": gran[i0:i1],
+            "has_gran": (fl & PKT_HAS_GRANULE) != 0,
+            "granules": None,  # built lazily if the slow path runs
+            "eos": (fl & PKT_EOS) != 0,
+            "resync": np.zeros(k, dtype=bool),
+            "ovh_bits": ovh[i0:i1].astype(np.int64) * 8,
+        }
 
     @staticmethod
     def _pad_cat(arrs, P):
@@ -636,7 +833,7 @@ class BatchDecoder:
                 cfg_buckets.append(("s", B_pad, n, P, W, T, cpl, st_geom,
                                     N_pad))
                 args.extend([
-                    jnp.asarray(cls_b.astype(np.int32)), jnp.asarray(flat),
+                    jnp.asarray(cls_b), jnp.asarray(flat),
                     jnp.asarray(base_b),
                     jnp.asarray(ys_b), jnp.asarray(used_b),
                     jnp.asarray(hf_b), jnp.asarray(widx_b),
@@ -757,7 +954,8 @@ class BatchDecoder:
         ])
 
         fn = _batch_program(
-            (C, L_pad, S_pad, tuple(cfg_buckets)), self._mesh_key
+            (C, L_pad, S_pad, tuple(cfg_buckets), self.clip_samples),
+            self._mesh_key,
         )
         out = fn(*args)
         L_fetch = min(L_pad, _round_up(L_real, L_QUANTUM))
@@ -766,7 +964,20 @@ class BatchDecoder:
         def finish():
             host = fetch_pcm(out_f)
             for st, off, length in ranges:
-                st.out.append(host[off : off + length].reshape(-1))
+                flat = host[off : off + length].reshape(-1)
+                if st.pcm is not None:
+                    # preallocated from the packet table's final granule:
+                    # no end-of-decode concatenate pass
+                    pos = st.out_pos
+                    end = pos + flat.size
+                    if end <= st.pcm.size:
+                        st.pcm[pos:end] = flat
+                        st.out_pos = end
+                        continue
+                    # estimate overrun (trim-free stream oddity): spill
+                    st.out.append(st.pcm[:pos].copy())
+                    st.pcm = None
+                st.out.append(flat)
 
         return finish
 

@@ -46,6 +46,25 @@ class StreamStats:
                 self._waste_bits += waste
                 self._container_bits += container
 
+    def add_window(self, samples, bits, waste, container):
+        """Batched :meth:`add_packet` over parallel sequences — one lock
+        round-trip per decode window instead of per packet.  Equivalent to
+        calling add_packet per element (all samples here are >= 0)."""
+        n = len(samples)
+        if n == 0:
+            return
+        with self._lock:
+            self._audio_bits += int(sum(bits))
+            self._waste_bits += int(sum(waste))
+            self._container_bits += int(sum(container))
+            self._total_samples += int(sum(samples))
+            self._packet_count += n
+            # instant bitrate tracks the last two packets
+            for k in range(max(0, n - 2), n):
+                self._packet_bits[self._packet_index] = bits[k] + waste[k]
+                self._packet_samples[self._packet_index] = samples[k]
+                self._packet_index = (self._packet_index + 1) % 2
+
     @property
     def effective_bit_rate(self) -> int:
         with self._lock:

@@ -126,11 +126,15 @@ class StreamDecoder:
         packet = provider.get_next_packet()
         if packet is None:
             return False
-        stp = setup_mod.parse_setup_header(packet, id_header)
+        stp, hdr_bits, hdr_rem = setup_mod.parse_setup_header_cached(
+            packet, id_header
+        )
         if stp is None:
             return False
         self._setup = stp
-        self._add_header_packet_stats(packet)
+        self._stats.add_packet(
+            -1, hdr_bits, hdr_rem, packet.container_overhead_bits
+        )
         packet.done()
 
         # dense floor1 indexing for the device tables

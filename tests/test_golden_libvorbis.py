@@ -177,6 +177,11 @@ def test_floor0_bark_map_quirk():
     assert ours.shape == gold.shape
     assert np.abs(gold - ours).max() > 1e-3  # quirk fires
 
+    # the patch below mutates a parsed floor in place: isolate it from the
+    # header-keyed setup cache (parsed setups are shared across readers)
+    from nvorbis_tpu.codec.setup import setup_cache_clear
+
+    setup_cache_clear()
     r = nv.VorbisReader(blob, engine="oracle")
     r.clip_samples = False
     f0 = r._stream_decoder._setup.floors[0]
@@ -191,5 +196,6 @@ def test_floor0_bark_map_quirk():
             )
     patched = r.read_all().reshape(-1, r.channels)
     r.dispose()
+    setup_cache_clear()  # don't leak the patched setup to later readers
     peak = max(1.0, float(np.abs(gold).max()))
     assert np.abs(gold - patched[: len(gold)]).max() <= 1e-6 + 5e-7 * peak
