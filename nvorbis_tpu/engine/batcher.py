@@ -77,20 +77,30 @@ class JaxPipeline:
         self._queue.clear()
         self._pending = None
         self._provider_done = False
-        self._window = 8
+        self._window = 4
 
-    def next_result(self):
+    def next_result(self, need_frames=None):
+        """Pop the next decoded packet result.
+
+        ``need_frames``: the caller's remaining demand (frames), when known.
+        Post-reset windows are capped to it so a seek-then-short-read never
+        decodes (or device-dispatches) frames it will not consume; sustained
+        sequential reads ramp the window up to the full read-ahead.
+        """
         if not self._queue:
             # promote the in-flight window, then immediately dispatch the
             # next one: the device synthesizes it while the consumer drains
-            # the queue (JAX dispatch is asynchronous)
+            # the queue (JAX dispatch is asynchronous).  During the post-
+            # reset ramp-up the windows are host-synthesized and a seeking
+            # caller reads only a few frames — prefetching there would
+            # decode 4x the frames it consumes, so don't.
             if self._pending is None and not self._provider_done:
-                self._pending = self._fill()
+                self._pending = self._fill(need_frames)
             if self._pending is not None:
                 self._queue.extend(self._pending)
                 self._pending = None
-            if not self._provider_done:
-                self._pending = self._fill()
+            if not self._provider_done and self._window > self._ORACLE_WINDOW:
+                self._pending = self._fill(need_frames)
                 if not self._pending:
                     self._pending = None
         if not self._queue:
@@ -112,8 +122,24 @@ class JaxPipeline:
             self._synths[id(mode)] = synth
         return synth
 
-    def _fill(self):
-        """Unpack + dispatch one window; returns the result list."""
+    # windows at or below this synthesize on the host oracle: a device
+    # dispatch costs a round trip (tens of ms through a remote link) that
+    # only pays for itself at batch scale.  Post-seek and stream-open reads
+    # hit the 8/32 ramp-up windows, so granule-exact seeks stay cheap.
+    _ORACLE_WINDOW = 32
+
+    def _fill(self, need_frames=None):
+        """Unpack + dispatch one window; returns the result list.
+
+        The window follows the 4x ramp, but demand (``need_frames``) caps it
+        during ramp-up — and a demand-capped fill does not advance the ramp,
+        so scattered small reads stay on the cheap host path."""
+        if need_frames is not None and need_frames < self._window:
+            window = max(2, need_frames)
+            if window <= self._ORACLE_WINDOW:
+                return self._fill_oracle(window)
+        if self._window <= self._ORACLE_WINDOW:
+            return self._fill_oracle()
         if self._native is not None:
             return self._fill_native()
         dec = self._decoder
@@ -160,6 +186,31 @@ class JaxPipeline:
                 r._lazy = (batch, slot)
                 r._frame = None
 
+        return results
+
+    def _fill_oracle(self, window=None):
+        """Small-window fill: per-packet numpy synthesis, no device touch
+        (identical semantics to the oracle engine's pipeline)."""
+        from nvorbis_tpu.synth.oracle import synthesize_frame
+
+        dec = self._decoder
+        if window is None:
+            window = self._window
+            self._window = min(self._max_readahead, window * 4)
+        results = []
+        while len(results) < window:
+            packet = dec._packet_provider.get_next_packet()
+            if packet is None:
+                self._provider_done = True
+                break
+            res = dec._unpack_packet_result(packet)
+            if res is not None and getattr(res, "_frame", None) is not None:
+                res.pcm = synthesize_frame(dec._setup, res._frame)
+                res._frame = None
+            packet.done()
+            results.append(res)
+            if res.is_end_of_stream:
+                break
         return results
 
     def _fill_native(self):

@@ -58,7 +58,7 @@ class _OraclePipeline:
     def __init__(self, decoder):
         self._decoder = decoder
 
-    def next_result(self):
+    def next_result(self, need_frames=None):
         dec = self._decoder
         packet = dec._packet_provider.get_next_packet()
         if packet is None:
@@ -254,7 +254,11 @@ class StreamDecoder:
                 if self._eos_found:
                     self._prev_buf = None
                     break
-                _, sample_position = self._read_next_packet((idx - offset) // channels)
+                remaining = (tgt - idx) // channels
+                need = remaining // max(1, self._setup.block0_size // 2) + 2
+                _, sample_position = self._read_next_packet(
+                    (idx - offset) // channels, need_frames=need
+                )
                 if sample_position is not None and not self._has_position:
                     self._has_position = True
                     self._current_position = (
@@ -318,13 +322,13 @@ class StreamDecoder:
         self._prev_start += count
         return count * channels
 
-    def _read_next_packet(self, buffered_samples: int):
+    def _read_next_packet(self, buffered_samples: int, need_frames=None):
         """Decode + lap the next packet; returns (ok, sample_position).
 
         Reference: StreamDecoder.ReadNextPacket (417-463) — a failed read
         drains the previous packet so the windowing fades it out.
         """
-        res = self._pipeline.next_result()
+        res = self._pipeline.next_result(need_frames)
         if res is None:
             self._eos_found = True
             self._stats.add_packet(0, 0, 0, 0)
@@ -412,7 +416,7 @@ class StreamDecoder:
         self._has_position = True
 
         # pre-roll packet
-        ok, _ = self._read_next_packet(0)
+        ok, _ = self._read_next_packet(0, need_frames=1)
         if not ok:
             self._eos_found = True
             if self._packet_provider.get_granule_count() != sample_position:
@@ -423,7 +427,7 @@ class StreamDecoder:
             self._current_position = sample_position
             return
         # the actual packet
-        ok, _ = self._read_next_packet(0)
+        ok, _ = self._read_next_packet(0, need_frames=1)
         if not ok:
             self._reset_decoder()
             self._pipeline.reset()

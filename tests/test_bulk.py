@@ -30,9 +30,10 @@ def test_bulk_matches_streaming_and_oracle(name):
     o, b, s, _ = _decode_three_ways(fixture_path(name))
     assert len(o) == len(b) == len(s)
     np.testing.assert_allclose(b, o, atol=2e-6, rtol=0)
-    # bulk vs streaming share the device synthesis; only XLA fusion rounding
-    # differs (~1 ulp)
-    np.testing.assert_allclose(b, s, atol=2e-7, rtol=0)
+    # bulk vs streaming share the device synthesis except the streaming
+    # pipeline's host-synthesized ramp-up windows (<=32 frames; cheap
+    # seeks/startup) — f32 rounding only
+    np.testing.assert_allclose(b, s, atol=2e-6, rtol=0)
 
 
 def test_bulk_position_and_subsequent_reads():

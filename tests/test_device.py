@@ -71,7 +71,10 @@ def test_jax_engine_small_reads_match_bulk():
         chunks.append(buf[:n].copy())
     r2.dispose()
     chunked = np.concatenate(chunks)
-    np.testing.assert_array_equal(bulk, chunked)
+    # the streaming pipeline synthesizes its ramp-up windows (<=32 frames)
+    # on the host oracle — cheap seeks/startup — so the first frames differ
+    # from the device program by f32 rounding only
+    np.testing.assert_allclose(bulk, chunked, atol=2e-6, rtol=0)
 
 
 def test_device_synth_batch_padding():
