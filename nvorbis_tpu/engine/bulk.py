@@ -361,6 +361,11 @@ class BulkDecoder:
         (unclipped) or None when the bulk path cannot be used."""
         from concurrent.futures import ThreadPoolExecutor
 
+        # function-level import: fast_packets imports this module
+        from nvorbis_tpu.ogg.fast_packets import (
+            PacketTableCursor, plan_job, table_for_decoder,
+        )
+
         dec = self._dec
         setup = dec._setup
         planner = StreamPlanner(dec._current_position)
@@ -372,74 +377,96 @@ class BulkDecoder:
         carry = None  # (rows dict, meta row, plan) of last good frame
         mfb = setup.mode_field_bits
         n_modes = len(setup.modes)
+
+        # packet-table fast lane: one C++ packetization pass, vectorized
+        # window pulls + plans; any anomaly keeps the Python provider
+        cursor = None
+        table = table_for_decoder(dec)
+        if table is not None:
+            cursor = PacketTableCursor(table)
+        w_max = max(len(m.overlaps) for m in setup.modes)
+        ov_tab = np.zeros((n_modes, w_max, 3), dtype=np.int64)
+        blk_tab = np.zeros(n_modes, dtype=np.int64)
+        for mi, m in enumerate(setup.modes):
+            blk_tab[mi] = m.block_size
+            for wi, svt in enumerate(m.overlaps):
+                ov_tab[mi, wi] = svt
+
         provider_done = False
         while not provider_done:
-            packets = []
-            raw = []
-            size_counts = {}
-            while len(packets) < CHUNK_FRAMES:
-                p = dec._packet_provider.get_next_packet()
-                if p is None:
-                    provider_done = True
-                    break
-                packets.append(p)
-                data = bytes(p.data)
-                raw.append(data)
-                mi = peek_mode_index(data, mfb)
-                if mi is not None and mi < n_modes:
-                    n = setup.modes[mi].block_size
-                    size_counts[n] = size_counts.get(n, 0) + 1
-                    if size_counts[n] >= CAP_PER_SIZE:
-                        break
-            if not packets:
-                break
-
             from nvorbis_tpu.utils.profiling import span
 
-            with span("bulk.unpack"):
-                if self._sym:
-                    classes, ids, ys, used, has_floor, meta = (
-                        self._native.unpack_sym(raw)
-                    )
-                    residue = (classes, ids)
-                else:
-                    residue, ys, used, has_floor, meta = (
-                        self._native.unpack(raw)
-                    )
-            used = used.astype(bool)
-            has_floor = has_floor.astype(bool)
-
-            plans = []
-            for i, p in enumerate(packets):
-                ok = meta[i, 0] == 1
-                block_size = None
-                if ok:
-                    mode = setup.modes[meta[i, 1]]
-                    start, valid, total = mode.overlaps[meta[i, 2]]
-                    block_size = mode.block_size
-                else:
-                    start = valid = total = 0
-                plan = planner.add(
-                    bool(ok), start, valid, total,
-                    p.granule_position, p.is_end_of_stream, p.is_resync,
-                    block_size=block_size, prev_plan=self._last_plan,
+            if cursor is not None:
+                size_counts = {}
+                job = cursor.pull(
+                    setup, blk_tab, CHUNK_FRAMES, size_counts, CAP_PER_SIZE
                 )
-                if plan.ok:
-                    self._last_plan = plan
-                plans.append(plan)
-                # stats (StreamDecoder.cs:424,453 semantics)
-                total_bits = int(meta[i, 4])
-                if plan.ok:
-                    bits_read = int(meta[i, 3])
-                    dec._stats.add_packet(
-                        plan.samples, bits_read, total_bits - bits_read,
-                        p.container_overhead_bits,
-                    )
-                else:
-                    dec._stats.add_packet(
-                        0, 0, total_bits, p.container_overhead_bits
-                    )
-                p.done()
+                provider_done = cursor.done
+                if job is None:
+                    break
+                with span("bulk.unpack"):
+                    if self._sym:
+                        classes, ids, ys, used, has_floor, meta = (
+                            self._native.unpack_sym_view(*job["view"])
+                        )
+                        residue = (classes, ids)
+                    else:
+                        residue, ys, used, has_floor, meta = (
+                            self._native.unpack_view(*job["view"])
+                        )
+                used = used.astype(bool)
+                has_floor = has_floor.astype(bool)
+                plans, self._last_plan = plan_job(
+                    planner, ov_tab, blk_tab, setup, meta, job,
+                    dec._stats, self._last_plan,
+                )
+            else:
+                packets = []
+                raw = []
+                size_counts = {}
+                while len(packets) < CHUNK_FRAMES:
+                    p = dec._packet_provider.get_next_packet()
+                    if p is None:
+                        provider_done = True
+                        break
+                    packets.append(p)
+                    data = bytes(p.data)
+                    raw.append(data)
+                    mi = peek_mode_index(data, mfb)
+                    if mi is not None and mi < n_modes:
+                        n = setup.modes[mi].block_size
+                        size_counts[n] = size_counts.get(n, 0) + 1
+                        if size_counts[n] >= CAP_PER_SIZE:
+                            break
+                if not packets:
+                    break
+
+                with span("bulk.unpack"):
+                    if self._sym:
+                        classes, ids, ys, used, has_floor, meta = (
+                            self._native.unpack_sym(raw)
+                        )
+                        residue = (classes, ids)
+                    else:
+                        residue, ys, used, has_floor, meta = (
+                            self._native.unpack(raw)
+                        )
+                used = used.astype(bool)
+                has_floor = has_floor.astype(bool)
+
+                job = {
+                    "n": len(packets),
+                    "granules": [p.granule_position for p in packets],
+                    "eos": [p.is_end_of_stream for p in packets],
+                    "resync": [p.is_resync for p in packets],
+                    "ovh_bits": [p.container_overhead_bits for p in packets],
+                }
+                plans, self._last_plan = plan_job(
+                    planner, ov_tab, blk_tab, setup, meta, job,
+                    dec._stats, self._last_plan,
+                )
+                for p in packets:
+                    p.done()
 
             chunk_base = out_chunks[-1][1] if out_chunks else 0
             with span("bulk.dispatch"):

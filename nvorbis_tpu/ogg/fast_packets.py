@@ -1,0 +1,189 @@
+"""Packet-table fast lane: windowed cursor over a native packetization.
+
+``nvt_packetize`` (native/__init__.py) turns one logical stream into a
+packed payload blob + per-packet tables in a single C++ pass.  This module
+is the Python consumer: :func:`build_table` locates the stream's bytes and
+serial, and :class:`PacketTableCursor` slices decode windows out of the
+table with vectorized mode peeks — no per-packet Python objects.  Both the
+multi-stream batch plane (parallel/batch.py) and the single-stream bulk
+plane (engine/bulk.py) pull through it; any stream the packetizer cannot
+represent stays on the Python provider, which owns the reference's
+recovery semantics.
+"""
+
+import numpy as np
+
+from nvorbis_tpu.engine.bulk import peek_mode_index, plan_window
+from nvorbis_tpu.native import PKT_EOS, PKT_HAS_GRANULE, packetize
+
+
+def table_for_decoder(decoder, skip_packets=3):
+    """Build a packet table for a StreamDecoder's logical stream, or None.
+
+    Snapshots the container bytes from the decoder's seekable provider and
+    packetizes from the stream's first page onward (so a chained container
+    reusing a serial cannot alias an earlier logical stream).
+    """
+    prov = decoder._packet_provider
+    index = getattr(prov, "_index", None)
+    if index is None:  # forward-only provider
+        return None
+    reader = getattr(index, "_reader", None)
+    stream = getattr(reader, "_stream", None)
+    if stream is None:
+        return None
+    offsets = getattr(index, "_offsets", None)
+    if not offsets:
+        return None
+    first_off = abs(offsets[0])
+    try:
+        pos = stream.tell()
+        stream.seek(first_off)
+        raw = stream.read()
+        stream.seek(pos)
+    except (OSError, ValueError, AttributeError):
+        return None
+    table = packetize(raw, prov.stream_serial)
+    if table is None or len(table[1]) - 1 <= skip_packets:
+        return None
+    return table
+
+
+def plan_job(planner, ov_tab, blk_tab, setup, meta, job, stats, last_plan):
+    """Lapping plans + stats for one pulled window.
+
+    Tries the vectorized :func:`plan_window` when every packet is good;
+    falls back to the sequential ``planner.add`` loop otherwise.  Returns
+    ``(plans, last_plan)`` — one FramePlan per packet, ok or not.
+    """
+    nj = job["n"]
+    if (job.get("gran_arr") is not None
+            and bool((meta[:nj, 0] == 1).all())):
+        mode_ids = meta[:nj, 1]
+        widx = meta[:nj, 2]
+        svt = ov_tab[mode_ids, widx]  # [n, 3] (start, valid, total)
+        res = plan_window(
+            planner, svt[:, 0], svt[:, 1], svt[:, 2],
+            job["gran_arr"], job["has_gran"], job["eos"],
+            blk_tab[mode_ids],
+        )
+        if res is not None:
+            plans, samples = res
+            bits = meta[:nj, 3].astype(np.int64)
+            totb = meta[:nj, 4].astype(np.int64)
+            stats.add_window(samples, bits, totb - bits, job["ovh_bits"])
+            return plans, plans[-1]
+
+    granules = job["granules"]
+    if granules is None:  # table job falling back to the slow path
+        granules = [
+            int(g) if h else None
+            for g, h in zip(job["gran_arr"], job["has_gran"])
+        ]
+    eos = job["eos"]
+    resync = job["resync"]
+    ovh_bits = job["ovh_bits"]
+    plans = []
+    s_samples, s_bits, s_waste, s_cont = [], [], [], []
+    for i in range(nj):
+        ok = meta[i, 0] == 1
+        block_size = None
+        if ok:
+            mode = setup.modes[meta[i, 1]]
+            start, valid, total = mode.overlaps[meta[i, 2]]
+            block_size = mode.block_size
+        else:
+            start = valid = total = 0
+        plan = planner.add(
+            bool(ok), start, valid, total,
+            granules[i], bool(eos[i]), bool(resync[i]),
+            block_size=block_size, prev_plan=last_plan,
+        )
+        if plan.ok:
+            last_plan = plan
+        total_bits = int(meta[i, 4])
+        if plan.ok:
+            bits_read = int(meta[i, 3])
+            s_samples.append(plan.samples)
+            s_bits.append(bits_read)
+            s_waste.append(total_bits - bits_read)
+        else:
+            s_samples.append(0)
+            s_bits.append(0)
+            s_waste.append(total_bits)
+        s_cont.append(int(ovh_bits[i]))
+        plans.append(plan)
+    stats.add_window(s_samples, s_bits, s_waste, s_cont)
+    return plans, last_plan
+
+
+class PacketTableCursor:
+    """Sequential window puller over a packet table.
+
+    ``pull(setup, ov_blk, budget, size_counts, cap)`` returns a job dict
+    (see parallel/batch.py phase 1) or None when exhausted; per-block-size
+    frame caps match the provider path's check-before-pull loop exactly.
+    """
+
+    def __init__(self, table, start_index=3):
+        self.table = table
+        self.idx = start_index
+        self.done = start_index >= len(table[1]) - 1
+
+    def pull(self, setup, blk_tab, budget, size_counts, cap):
+        data, off, gran, flags, ovh = self.table
+        n_total = len(off) - 1
+        i0 = self.idx
+        if i0 >= n_total:
+            self.done = True
+            return None
+        mfb = setup.mode_field_bits
+        nm = len(setup.modes)
+        n_avail = min(budget, n_total - i0)
+
+        if mfb <= 7:
+            first = data[off[i0 : i0 + n_avail]]
+            mode_idx = (first >> 1) & ((1 << mfb) - 1)
+            valid = (first & 1) == 0
+        else:  # >128 modes: byte-spanning field, peek per packet (rare)
+            mode_idx = np.zeros(n_avail, dtype=np.int64)
+            valid = np.zeros(n_avail, dtype=bool)
+            for k in range(n_avail):
+                mi = peek_mode_index(
+                    data[off[i0 + k] : off[i0 + k] + 8].tobytes(), mfb
+                )
+                if mi is not None:
+                    mode_idx[k] = mi
+                    valid[k] = True
+        valid = valid & (mode_idx < nm)
+        sizes = np.where(valid, blk_tab[np.minimum(mode_idx, nm - 1)], 0)
+
+        # include up to (and incl.) the packet that reaches the cap
+        k = n_avail
+        for s in np.unique(sizes[sizes > 0]):
+            base = size_counts.get(int(s), 0)
+            cum = np.cumsum(sizes == s) + base
+            if cum[-1] >= cap:
+                k = min(k, int(np.argmax(cum >= cap)) + 1)
+        sizes = sizes[:k]
+        for s in np.unique(sizes[sizes > 0]):
+            size_counts[int(s)] = (
+                size_counts.get(int(s), 0) + int((sizes == s).sum())
+            )
+        i1 = i0 + k
+        self.idx = i1
+        if i1 >= n_total:
+            self.done = True
+
+        fl = flags[i0:i1]
+        return {
+            "n": k,
+            "view": (data[off[i0] : off[i1]],
+                     (off[i0 : i1 + 1] - off[i0]).astype(np.int64)),
+            "gran_arr": gran[i0:i1],
+            "has_gran": (fl & PKT_HAS_GRANULE) != 0,
+            "granules": None,  # built lazily if the slow path runs
+            "eos": (fl & PKT_EOS) != 0,
+            "resync": np.zeros(k, dtype=bool),
+            "ovh_bits": ovh[i0:i1].astype(np.int64) * 8,
+        }

@@ -32,6 +32,7 @@ from nvorbis_tpu.codec.floor import Floor1
 from nvorbis_tpu.engine.bulk import (
     StreamPlanner, _round_up, peek_mode_index, CAP_PER_SIZE, L_QUANTUM,
 )
+from nvorbis_tpu.ogg.fast_packets import plan_job
 from nvorbis_tpu.synth.device import synth_spectra, floor1_bin_map, _XS_PAD
 from nvorbis_tpu.synth.oracle import imdct_basis
 from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
@@ -150,7 +151,7 @@ class _StreamState:
     __slots__ = (
         "reader", "decoder", "native", "planner", "plans_tail", "carry",
         "chunk_base", "out", "done", "pcm", "table_ids", "last_plan",
-        "table", "pkt_idx", "ov_tab", "blk_tab", "out_pos",
+        "table", "cursor", "ov_tab", "blk_tab", "out_pos",
     )
 
 
@@ -196,26 +197,20 @@ class BatchDecoder:
                     st.native = None
                 unpackers[skey] = st.native
             # clean-path packet table: one C++ pass packetizes the whole
-            # logical stream (native/__init__.py packetize); any anomaly —
+            # logical stream (ogg/fast_packets.py); any anomaly —
             # corruption, resync, unbuffered source — keeps the Python
             # provider, which owns the reference's recovery semantics
             st.table = None
-            st.pkt_idx = 3  # past the id/comment/setup header packets
+            st.cursor = None  # PacketTableCursor when the table exists
             if st.native is not None:
-                raw_bytes = None
-                if isinstance(src, (bytes, bytearray)):
-                    raw_bytes = bytes(src)
-                elif isinstance(src, str):
-                    with open(src, "rb") as f:
-                        raw_bytes = f.read()
-                if raw_bytes is not None:
-                    from nvorbis_tpu.native import packetize
+                from nvorbis_tpu.ogg.fast_packets import (
+                    PacketTableCursor, table_for_decoder,
+                )
 
-                    table = packetize(
-                        raw_bytes, st.decoder._packet_provider.stream_serial
-                    )
-                    if table is not None and len(table[1]) - 1 >= 3:
-                        st.table = table
+                table = table_for_decoder(st.decoder)
+                if table is not None:
+                    st.table = table
+                    st.cursor = PacketTableCursor(table)
             # vectorized (mode, window) -> (start, valid, total) and block
             # size lookups for the windowed planner fast path
             setup = st.decoder._setup
@@ -504,80 +499,11 @@ class BatchDecoder:
                 ids_l.append(ids)
             else:
                 residue, ys, used, has_floor, meta = arrs
-            nj = job["n"]
-            eos = job["eos"]
-            ovh_bits = job["ovh_bits"]
-
-            # windowed fast path (table pulls only: no resync by
-            # construction): all packets good -> one vectorized plan pass
-            if (job.get("gran_arr") is not None
-                    and bool((meta[:nj, 0] == 1).all())):
-                from nvorbis_tpu.engine.bulk import plan_window
-
-                mode_ids = meta[:nj, 1]
-                widx = meta[:nj, 2]
-                svt = st.ov_tab[mode_ids, widx]  # [n, 3]
-                res = plan_window(
-                    st.planner, svt[:, 0], svt[:, 1], svt[:, 2],
-                    job["gran_arr"], job["has_gran"], eos,
-                    st.blk_tab[mode_ids],
-                )
-                if res is not None:
-                    new_plans, samples_arr = res
-                    st.last_plan = new_plans[-1]
-                    bits = meta[:nj, 3].astype(np.int64)
-                    totb = meta[:nj, 4].astype(np.int64)
-                    dec._stats.add_window(
-                        samples_arr, bits, totb - bits, ovh_bits
-                    )
-                    plans.extend(
-                        (st, p, meta[i]) for i, p in enumerate(new_plans)
-                    )
-                    if not self._sym:
-                        residues.append(residue)
-                    yss.append(ys)
-                    useds.append(used)
-                    hfs.append(has_floor)
-                    metas.append(meta)
-                    continue
-
-            granules = job["granules"]
-            if granules is None:  # table job falling back to the slow path
-                granules = [
-                    int(g) if h else None
-                    for g, h in zip(job["gran_arr"], job["has_gran"])
-                ]
-            resync = job["resync"]
-            s_samples, s_bits, s_waste, s_cont = [], [], [], []
-            for i in range(job["n"]):
-                ok = meta[i, 0] == 1
-                block_size = None
-                if ok:
-                    mode = setup.modes[meta[i, 1]]
-                    start, valid, total = mode.overlaps[meta[i, 2]]
-                    block_size = mode.block_size
-                else:
-                    start = valid = total = 0
-                plan = st.planner.add(
-                    bool(ok), start, valid, total,
-                    granules[i], bool(eos[i]), bool(resync[i]),
-                    block_size=block_size, prev_plan=st.last_plan,
-                )
-                if plan.ok:
-                    st.last_plan = plan
-                total_bits = int(meta[i, 4])
-                if plan.ok:
-                    bits_read = int(meta[i, 3])
-                    s_samples.append(plan.samples)
-                    s_bits.append(bits_read)
-                    s_waste.append(total_bits - bits_read)
-                else:
-                    s_samples.append(0)
-                    s_bits.append(0)
-                    s_waste.append(total_bits)
-                s_cont.append(int(ovh_bits[i]))
-                plans.append((st, plan, meta[i]))
-            dec._stats.add_window(s_samples, s_bits, s_waste, s_cont)
+            new_plans, st.last_plan = plan_job(
+                st.planner, st.ov_tab, st.blk_tab, setup, meta, job,
+                dec._stats, st.last_plan,
+            )
+            plans.extend((st, p, meta[i]) for i, p in enumerate(new_plans))
             if not self._sym:
                 residues.append(residue)
             yss.append(ys)
@@ -632,69 +558,14 @@ class BatchDecoder:
 
     def _pull_table(self, st, budget, size_counts):
         """Vectorized window slice out of the stream's packet table."""
-        from nvorbis_tpu.native import PKT_EOS, PKT_HAS_GRANULE
-
-        data, off, gran, flags, ovh = st.table
-        n_total = len(off) - 1
-        i0 = st.pkt_idx
-        if i0 >= n_total:
-            st.done = True
-            return None
-        setup = st.decoder._setup
-        mfb = setup.mode_field_bits
-        nm = len(setup.modes)
-        n_avail = min(budget, n_total - i0)
-
-        if mfb <= 7:
-            first = data[off[i0 : i0 + n_avail]]
-            mode_idx = (first >> 1) & ((1 << mfb) - 1)
-            valid = (first & 1) == 0
-        else:  # >128 modes: byte-spanning field, peek per packet (rare)
-            mode_idx = np.zeros(n_avail, dtype=np.int64)
-            valid = np.zeros(n_avail, dtype=bool)
-            for k in range(n_avail):
-                mi = peek_mode_index(
-                    data[off[i0 + k] : off[i0 + k] + 8].tobytes(), mfb
-                )
-                if mi is not None:
-                    mode_idx[k] = mi
-                    valid[k] = True
-        block_sizes = np.array(
-            [m.block_size for m in setup.modes], dtype=np.int64
+        job = st.cursor.pull(
+            st.decoder._setup, st.blk_tab, budget, size_counts, CAP_PER_SIZE
         )
-        valid = valid & (mode_idx < nm)
-        sizes = np.where(valid, block_sizes[np.minimum(mode_idx, nm - 1)], 0)
-
-        # per-size caps: include up to (and incl.) the packet that reaches
-        # CAP_PER_SIZE, matching the provider path's check-before-pull loop
-        k = n_avail
-        for s in np.unique(sizes[sizes > 0]):
-            base = size_counts.get(int(s), 0)
-            cum = np.cumsum(sizes == s) + base
-            if cum[-1] >= CAP_PER_SIZE:
-                k = min(k, int(np.argmax(cum >= CAP_PER_SIZE)) + 1)
-        sizes = sizes[:k]
-        for s in np.unique(sizes[sizes > 0]):
-            size_counts[int(s)] = (
-                size_counts.get(int(s), 0) + int((sizes == s).sum())
-            )
-        i1 = i0 + k
-        st.pkt_idx = i1
-        if i1 >= n_total:
+        if st.cursor.done:
             st.done = True
-
-        fl = flags[i0:i1]
-        return {
-            "st": st, "n": k,
-            "view": (data[off[i0] : off[i1]],
-                     (off[i0 : i1 + 1] - off[i0]).astype(np.int64)),
-            "gran_arr": gran[i0:i1],
-            "has_gran": (fl & PKT_HAS_GRANULE) != 0,
-            "granules": None,  # built lazily if the slow path runs
-            "eos": (fl & PKT_EOS) != 0,
-            "resync": np.zeros(k, dtype=bool),
-            "ovh_bits": ovh[i0:i1].astype(np.int64) * 8,
-        }
+        if job is not None:
+            job["st"] = st
+        return job
 
     @staticmethod
     def _pad_cat(arrs, P):
