@@ -171,12 +171,10 @@ def _apply_inverse_coupling(residue, coupling_steps):
     return residue
 
 
-def synth_spectra(residue, ys, used, has_floor, xs, basis, coupling,
-                  f0_curves=None, has_f0=False, sl=None):
-    """Un-windowed synthesis body: coupling -> floor render -> floor
-    multiply -> IMDCT matmul.  Returns PCM ``[B, C, n]``."""
+def _floored_spectrum(residue, ys, used, has_floor, xs, coupling,
+                      f0_curves=None, has_f0=False, sl=None):
+    """Coupling + floor render + floor multiply; returns ``[B, C, n2]``."""
     n2 = residue.shape[-1]
-    n = basis.shape[-1]
     residue = _apply_inverse_coupling(residue, coupling)
     curve = _render_floor1_curves(
         xs, ys, used, has_floor, jnp.asarray(INVERSE_DB_TABLE), n2, sl=sl
@@ -188,7 +186,19 @@ def synth_spectra(residue, ys, used, has_floor, xs, basis, coupling,
         if floor1_mask.ndim == 1:
             floor1_mask = floor1_mask[None]
         curve = jnp.where(floor1_mask[:, :, None], curve, f0_curves)
-    spectrum = residue * curve
+    return residue * curve
+
+
+def synth_spectra(residue, ys, used, has_floor, xs, basis, coupling,
+                  f0_curves=None, has_f0=False, sl=None):
+    """Un-windowed synthesis body: coupling -> floor render -> floor
+    multiply -> IMDCT matmul.  Returns PCM ``[B, C, n]``."""
+    n2 = residue.shape[-1]
+    n = basis.shape[-1]
+    spectrum = _floored_spectrum(
+        residue, ys, used, has_floor, xs, coupling,
+        f0_curves=f0_curves, has_f0=has_f0, sl=sl,
+    )
     return jnp.dot(
         spectrum.reshape(-1, n2),
         basis,
@@ -197,11 +207,49 @@ def synth_spectra(residue, ys, used, has_floor, xs, basis, coupling,
     ).reshape(residue.shape[0], residue.shape[1], n)
 
 
+def _pallas_mode():
+    """``NVT_PALLAS``: '' / '0' off; '1' = fused Pallas IMDCT+window kernel
+    on a real TPU backend; 'interpret' = force interpret mode (tests).
+    Read at trace time — set it before the first decode."""
+    import os
+
+    val = os.environ.get("NVT_PALLAS", "")
+    if val in ("", "0"):
+        return None
+    if val == "interpret":
+        return "interpret"
+    try:
+        return "tpu" if jax.default_backend() == "tpu" else None
+    except Exception:
+        return None
+
+
 def synth_core(residue, ys, used, has_floor, window_index, xs, windows, basis,
                coupling, f0_curves=None, has_f0=False, sl=None):
     """The synthesis body (traceable, stream-agnostic): coupling -> floor
     render -> floor multiply -> IMDCT matmul -> window.  Returns windowed
-    PCM ``[B, C, n]``."""
+    PCM ``[B, C, n]``.
+
+    With ``NVT_PALLAS`` set, the IMDCT matmul and window multiply run as
+    one fused Pallas kernel (ops/pallas_imdct.py): the window applies in
+    VMEM on the accumulator tile before the single HBM write-back."""
+    mode = _pallas_mode()
+    if mode is not None:
+        from nvorbis_tpu.ops.pallas_imdct import imdct_window_pallas
+
+        spectrum = _floored_spectrum(
+            residue, ys, used, has_floor, xs, coupling,
+            f0_curves=f0_curves, has_f0=has_f0, sl=sl,
+        )
+        B, C, n2 = spectrum.shape
+        n = basis.shape[-1]
+        widx_rows = jnp.repeat(window_index, C)  # row-major [B*C]
+        out = imdct_window_pallas(
+            spectrum.reshape(-1, n2), basis, windows, widx_rows,
+            interpret=(mode == "interpret"),
+        )
+        return out.reshape(B, C, n)
+
     pcm = synth_spectra(
         residue, ys, used, has_floor, xs, basis, coupling,
         f0_curves=f0_curves, has_f0=has_f0, sl=sl,

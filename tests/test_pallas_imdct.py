@@ -1,6 +1,8 @@
 """Pallas fused IMDCT+window kernel vs the XLA reference formulation
 (interpret mode on CPU; the real lowering runs on TPU)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -32,3 +34,31 @@ def test_pallas_matches_xla(n, rows):
     # with |pcm| ~ sqrt(n2) the tile sums land within ~2e-4 relative
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=2e-4)
+
+
+def test_pallas_wired_into_synth_core_interpret():
+    """NVT_PALLAS=interpret routes synth_core through the fused Pallas
+    kernel; a full fixture decode must match the oracle engine.  Runs in a
+    subprocess: the flag is read at trace time and this process's jit
+    caches already hold the XLA-dot programs."""
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np, nvorbis_tpu as nv
+path = "/root/reference/TestFiles/1test.ogg"
+ref = nv.VorbisReader(path, engine="oracle").read_all()
+got = nv.VorbisReader(path, engine="jax").read_all()
+assert len(got) == len(ref)
+d = float(np.abs(got - ref).max())
+assert d <= 2e-6, d
+print("PALLAS_OK", d)
+"""
+    env = dict(os.environ, NVT_PALLAS="interpret", JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PALLAS_OK" in out.stdout
