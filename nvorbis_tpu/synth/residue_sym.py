@@ -172,7 +172,7 @@ def flatten_ids(ids_rows, counts):
     counts = counts.astype(np.int64)
     base = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
     keep = np.arange(ids_rows.shape[1])[None, :] < counts[:, None]
-    return ids_rows[keep].astype(np.int16), base
+    return ids_rows[keep].astype(np.int16, copy=False), base
 
 
 class SymStatic(NamedTuple):

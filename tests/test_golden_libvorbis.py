@@ -111,6 +111,38 @@ def test_fuzzed_topologies_golden():
         )
 
 
+def test_channel_mask_semantics_match_libvorbis():
+    """Do-not-decode channel masks (silent floors): we follow the Vorbis
+    spec — masked channels transmit no residue classwords — where NVorbis
+    reads classwords for every channel and zeroes later
+    (Residue0.cs:134-151; documented in codec/residue.py:7-15).  libvorbis
+    decodes the spec layout identically to us at ULP level, in every mask
+    configuration incl. coupling no-energy propagation, which adjudicates
+    the deviation against the reference Xiph decoder."""
+    cases = [
+        (2, [(0, 1)], 2, lambda i: (0,) if i % 3 == 0 else ()),
+        (2, [(0, 1)], 2, lambda i: (0, 1) if i % 3 == 0 else ()),
+        (3, [], 1, lambda i: (1,) if i % 2 == 0 else (0, 2)),
+        (6, [(0, 1), (2, 3), (4, 5)], 2,
+         lambda i: (2, 3) if i % 2 == 0 else ()),
+    ]
+    for channels, couplings, rtype, schedule in cases:
+        spec = make_simple_spec(
+            channels=channels, residue_type=rtype, couplings=couplings
+        )
+        blob = spec.build_stream(
+            np.random.default_rng(17), 24, silent_schedule=schedule,
+            mode_schedule=[0, 1, 0, 0, 1],
+        )
+        gold = lvo.decode_bytes(blob)
+        ours = _decode_ours(blob, "oracle")
+        assert ours.shape == gold.shape, (channels, rtype)
+        peak = max(1.0, float(np.abs(gold).max()))
+        assert np.abs(gold - ours).max() <= 1e-6 + 5e-7 * peak, (
+            channels, rtype,
+        )
+
+
 # -- documented NVorbis-parity divergences ------------------------------------
 
 
