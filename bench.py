@@ -36,7 +36,8 @@ REPS = int(os.environ.get("NVT_BENCH_REPS", "2"))
 BUDGET = float(os.environ.get("NVT_BENCH_BUDGET", "1500"))
 CONFIGS = [c for c in os.environ.get(
     "NVT_BENCH_CONFIGS",
-    "longform_batch,decode_1test_wav,chained_seek,surround51_48k,batch64",
+    "longform_batch,longform_batch_int16,decode_1test_wav,chained_seek,"
+    "surround51_48k,batch64",
 ).split(",") if c]
 
 _T0 = time.perf_counter()
@@ -106,6 +107,26 @@ def cfg_longform_batch():
     return {
         "metric": "decode_throughput_stereo_44k1_longform_batch",
         "value": round(_timed_best(lambda: decode_batch(raws)), 3),
+        "unit": "x_realtime_per_chip",
+        "streams": N_STREAMS,
+    }
+
+
+def cfg_longform_batch_int16():
+    """The headline workload with 16-bit PCM transport (NVT_FETCH_INT16):
+    halves device->host bytes, quantifying how much of the f32 headline is
+    link-bound.  Lossy (~3e-5) — reported separately, never the headline."""
+    raw = open(_long_fixture(), "rb").read()
+    raws = [raw] * N_STREAMS
+    os.environ["NVT_FETCH_INT16"] = "1"
+    try:
+        decode_batch(raws)  # warm
+        value = round(_timed_best(lambda: decode_batch(raws)), 3)
+    finally:
+        os.environ.pop("NVT_FETCH_INT16", None)
+    return {
+        "metric": "decode_throughput_stereo_44k1_longform_batch_int16",
+        "value": value,
         "unit": "x_realtime_per_chip",
         "streams": N_STREAMS,
     }
@@ -204,6 +225,7 @@ def cfg_batch64():
 
 _CFG_FNS = {
     "longform_batch": cfg_longform_batch,
+    "longform_batch_int16": cfg_longform_batch_int16,
     "decode_1test_wav": cfg_decode_1test_wav,
     "chained_seek": cfg_chained_seek,
     "surround51_48k": cfg_surround51_48k,

@@ -143,3 +143,16 @@ def test_batch_no_native_falls_back(monkeypatch):
     for got in outs:
         assert len(got) == len(ref)
         assert float(np.abs(got - ref).max()) <= 5e-6
+
+
+def test_int16_transport_quality(monkeypatch):
+    """NVT_FETCH_INT16 halves link bytes at ~3e-5 quantization error; the
+    batch output must stay within the 16-bit bound of the exact decode."""
+    raw = open(fixture_path("1test.ogg"), "rb").read()
+    (exact,) = BatchDecoder([raw]).decode_all()
+    monkeypatch.setenv("NVT_FETCH_INT16", "1")
+    (quant,) = BatchDecoder([raw]).decode_all()
+    assert len(quant) == len(exact)
+    assert float(np.abs(quant - exact).max()) <= 1.0 / 32767 + 1e-6
+    # and it is genuinely quantized (not the f32 path by accident)
+    assert float(np.abs(quant - exact).max()) > 0
