@@ -12,7 +12,8 @@ JSON line on stderr (the driver's tail captures both streams):
   5. batch64                   — 64-stream co-batched aggregate throughput
 
 Env knobs: NVT_BENCH_STREAMS (headline batch width, default 8),
-NVT_BENCH_REPS (timed reps, default 2), NVT_BENCH_CONFIGS
+NVT_BENCH_REPS (timed reps, default 3 — the tunnel relay rate is noisy,
+best-of-3 rides out a slow phase), NVT_BENCH_CONFIGS
 (comma-separated subset), NVT_BENCH_BUDGET (wall seconds for the optional
 configs, default 1500), NVT_FETCH_INT16=1 (lossy 16-bit PCM transport —
 halves device->host bytes through a bandwidth-capped link).
@@ -32,7 +33,7 @@ REPEATS = 64  # ~7 minutes of stereo 44.1 kHz audio
 TARGET_X_REALTIME = 500.0
 
 N_STREAMS = int(os.environ.get("NVT_BENCH_STREAMS", "8"))
-REPS = int(os.environ.get("NVT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("NVT_BENCH_REPS", "3"))
 BUDGET = float(os.environ.get("NVT_BENCH_BUDGET", "1500"))
 CONFIGS = [c for c in os.environ.get(
     "NVT_BENCH_CONFIGS",

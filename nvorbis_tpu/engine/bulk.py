@@ -371,7 +371,11 @@ class BulkDecoder:
         planner = StreamPlanner(dec._current_position)
         out_chunks = []
         # one fetch worker: device->host transfers overlap the next chunk's
-        # host unpack + upload (see parallel/batch.py for the same pattern)
+        # host unpack + upload (see parallel/batch.py for the same pattern);
+        # disabled through a tunnel relay (utils.fetch.overlap_fetches)
+        from nvorbis_tpu.utils.fetch import overlap_fetches
+
+        overlap = overlap_fetches()
         pool = ThreadPoolExecutor(max_workers=1)
 
         carry = None  # (rows dict, meta row, plan) of last good frame
@@ -479,15 +483,21 @@ class BulkDecoder:
                 with span("bulk.fetch"):
                     return f() if callable(f) else f
 
-            out_chunks.append((pool.submit(_run), planner.emitted))
-            # bound in-flight fetches to two chunks
-            if len(out_chunks) > 2:
-                out_chunks[-3] = (
-                    out_chunks[-3][0].result()
-                    if hasattr(out_chunks[-3][0], "result")
-                    else out_chunks[-3][0],
-                    out_chunks[-3][1],
-                )
+            if overlap:
+                out_chunks.append((pool.submit(_run), planner.emitted))
+                # bound in-flight fetches to two chunks
+                if len(out_chunks) > 2:
+                    out_chunks[-3] = (
+                        out_chunks[-3][0].result()
+                        if hasattr(out_chunks[-3][0], "result")
+                        else out_chunks[-3][0],
+                        out_chunks[-3][1],
+                    )
+            else:
+                # tunnel relay: serialize relay use — an overlapped fetch
+                # is stalled by the next chunk's uploads (see
+                # utils.fetch.overlap_fetches)
+                out_chunks.append((_run(), planner.emitted))
 
             # carry the last good frame into the next chunk (its tail may
             # still lap into samples emitted there)

@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(widx_ref, spec_ref, basis_ref, win_ref, out_ref, acc_ref, *,
+def _kernel(onehot_ref, spec_ref, basis_ref, win_ref, out_ref, acc_ref, *,
             n_k, bm, bn):
     k = pl.program_id(2)
 
@@ -34,21 +34,25 @@ def _kernel(widx_ref, spec_ref, basis_ref, win_ref, out_ref, acc_ref, *,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # precision=HIGHEST forces true f32 MXU passes: the Mosaic default
+    # multiplies in bf16, which measured max-abs ~1.5 on decode-scale
+    # values (vs the 1e-6 parity budget)
     acc_ref[:] += jnp.dot(
-        spec_ref[:], basis_ref[:], preferred_element_type=jnp.float32
+        spec_ref[:], basis_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(k == n_k - 1)
     def _():
-        # fused window: one-hot select of each row's window (W is tiny)
-        W = win_ref.shape[0]
-        widx = widx_ref[:]  # [bm] int32
-        onehot = (
-            widx[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (bm, W), 1)
-        ).astype(jnp.float32)
-        win = jnp.dot(onehot, win_ref[:],
-                      preferred_element_type=jnp.float32)  # [bm, bn]
+        # fused window: each row's window selected from a caller-built f32
+        # one-hot (a 1-D s32 operand trips Mosaic's layout verifier on
+        # v5e).  W is tiny and static, so the select is an exact VPU
+        # weighted sum — a one-hot MXU matmul would truncate the window
+        # to bf16 (breaking the 1e-6 parity budget).
+        W = onehot_ref.shape[1]
+        win = onehot_ref[:, 0:1] * win_ref[0:1, :]
+        for w in range(1, W):
+            win += onehot_ref[:, w : w + 1] * win_ref[w : w + 1, :]
         out_ref[:] = acc_ref[:] * win
 
 
@@ -66,6 +70,7 @@ def imdct_window_pallas(spectrum, basis, windows, widx,
     """
     rows, n2 = spectrum.shape
     n = basis.shape[1]
+    W = windows.shape[0]
     bm = min(bm, max(8, rows))
     bn = min(bn, n)
     bk = min(bk, n2)
@@ -77,15 +82,21 @@ def imdct_window_pallas(spectrum, basis, windows, widx,
     n_k = n2 // bk
     assert n2 % bk == 0 and n % bn == 0, "block sizes must divide shapes"
 
+    # one-hot window select materialized outside the kernel: XLA fuses it
+    # into the pallas_call's operand stream, and 2-D f32 avoids the 1-D
+    # s32 Mosaic layout-verification failure seen on v5e
+    onehot = (
+        widx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (M, W), 1)
+    ).astype(jnp.float32)
+
     out = pl.pallas_call(
         functools.partial(_kernel, n_k=n_k, bm=bm, bn=bn),
         grid=(M // bm, n // bn, n_k),
         in_specs=[
-            pl.BlockSpec((bm,), lambda i, j, k: (i,)),            # widx
+            pl.BlockSpec((bm, W), lambda i, j, k: (i, 0)),        # onehot
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),       # spectrum
             pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),       # basis
-            pl.BlockSpec((windows.shape[0], bn),
-                         lambda i, j, k: (0, j)),                 # windows
+            pl.BlockSpec((W, bn), lambda i, j, k: (0, j)),        # windows
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((M, n), jnp.float32),
@@ -94,5 +105,5 @@ def imdct_window_pallas(spectrum, basis, windows, widx,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(widx, spectrum, basis, windows)
+    )(onehot, spectrum, basis, windows)
     return out[:rows]

@@ -387,38 +387,57 @@ class BatchDecoder:
 
         self._stream_slot = {id(st): i for i, st in enumerate(members)}
         active = list(members)
-        # two chunks in flight: upload/compute of chunk k overlaps the
-        # device->host fetch of chunk k-2 while the host unpacks k+1
         from collections import deque
 
         from concurrent.futures import ThreadPoolExecutor
 
+        from nvorbis_tpu.utils.fetch import overlap_fetches
         from nvorbis_tpu.utils.profiling import span
 
-        # fetches run on one worker thread: the device->host transfer (the
-        # scarce resource through a tunnel) overlaps the next chunk's host
-        # unpack + upload.  A single worker keeps per-stream chunk order.
-        pending = deque()
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            def _run(finish):
-                with span("batch.fetch"):
-                    finish()
+        def _run(finish):
+            with span("batch.fetch"):
+                finish()
 
-            while active:
-                with span("batch.collect"):
-                    chunk = self._collect_chunk(active, P, n_modes)
-                if chunk is None:
-                    break
+        if overlap_fetches():
+            # two chunks in flight: upload/compute of chunk k overlaps the
+            # device->host fetch of chunk k-2 while the host unpacks k+1.
+            # A single worker keeps per-stream chunk order.
+            pending = deque()
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                while active:
+                    with span("batch.collect"):
+                        chunk = self._collect_chunk(active, P, n_modes)
+                    if chunk is None:
+                        break
+                    with span("batch.dispatch"):
+                        finish = self._dispatch(chunk, C, P, setup0,
+                                                xs_dev, win_dev, basis_dev,
+                                                sl_dev)
+                    pending.append(pool.submit(_run, finish))
+                    while len(pending) > 2:
+                        pending.popleft().result()
+                    active = [st for st in active if not st.done]
+                while pending:
+                    pending.popleft().result()
+        else:
+            # tunnel relay: one multiplexed pipe — an overlapped fetch is
+            # stalled by the next chunk's uploads (see
+            # utils.fetch.overlap_fetches).  Serialize relay use, but keep
+            # the host-only collect of chunk k+1 (C++ unpack, planning)
+            # overlapped with chunk k's device compute.
+            with span("batch.collect"):
+                chunk = self._collect_chunk(active, P, n_modes)
+            while chunk is not None:
                 with span("batch.dispatch"):
                     finish = self._dispatch(chunk, C, P, setup0,
                                             xs_dev, win_dev, basis_dev,
                                             sl_dev)
-                pending.append(pool.submit(_run, finish))
-                while len(pending) > 2:
-                    pending.popleft().result()
                 active = [st for st in active if not st.done]
-            while pending:
-                pending.popleft().result()
+                with span("batch.collect"):
+                    next_chunk = (self._collect_chunk(active, P, n_modes)
+                                  if active else None)
+                _run(finish)
+                chunk = next_chunk
 
         for st in members:
             dec = st.decoder

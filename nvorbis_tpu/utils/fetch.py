@@ -1,16 +1,21 @@
 """Device->host transfer helper.
 
-Through a remote TPU link, a single large device->host copy can fall into a
-pathologically slow path (measured: one 2.6 MB fetch taking minutes, while
-the same bytes as four ~0.6 MB slices arrive in ~0.2 s).  This helper
+Through a remote TPU link the transfer strategy dominates end-to-end decode
+throughput, and the optimum is relay-dependent:
 
-1. blocks until the array is computed (fetching an in-flight array can also
-   hit the slow path),
-2. slices the array on-device into <=512 KB pieces along axis 0 (slice
-   programs are tiny and cached per shape),
-3. fetches the pieces concurrently from a small thread pool.
+- round 1's relay had a pathological slow path for single multi-MB fetches
+  (one 2.6 MB fetch took minutes while the same bytes as four ~0.6 MB
+  slices arrived in ~0.2 s), so this helper sliced at 512 KB;
+- round 2's relay is the opposite: each fetch pays a ~30 ms dispatch
+  round-trip for the on-device slice program plus per-request overhead, so
+  512 KB slicing measured 5.8 MB/s while whole-array fetches of the same
+  data measured 25-40 MB/s (tools/link_probe.py, /tmp span traces).
 
-On the CPU backend (tests, virtual meshes) it degrades to a plain copy.
+The strategy is therefore env-tunable: ``NVT_FETCH_CHUNK_BYTES`` sets the
+slice size (default 32 MB — large enough to amortize round-trips, small
+enough to bound a pathological fetch and keep the thread pool overlapped).
+``0`` disables slicing entirely.  On the CPU backend (tests, virtual
+meshes) it degrades to a plain copy.
 """
 
 import os
@@ -18,27 +23,48 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-_MAX_CHUNK_BYTES = 512 * 1024
+_DEFAULT_CHUNK_BYTES = 32 * 1024 * 1024
 _pool = None
+
+
+def _max_chunk_bytes() -> int:
+    v = os.environ.get("NVT_FETCH_CHUNK_BYTES", "")
+    if not v:
+        return _DEFAULT_CHUNK_BYTES
+    return int(v) or (1 << 62)
 
 
 def int16_transport_enabled() -> bool:
     """Opt-in lossy PCM transport (``NVT_FETCH_INT16=1``).
 
     Through a bandwidth-capped link the float32 PCM download can bound
-    end-to-end throughput (measured ~33 MB/s tunnel => ~90x realtime
-    ceiling for stereo 44.1 kHz f32).  Quantizing to 16 bits on-device —
-    the delivery precision of virtually every audio sink, and exactly what
-    libvorbisfile's ov_read() hands out — halves the link bytes.  ~3e-5
-    quantization error, so parity tests never enable it.
+    end-to-end throughput (measured 2026-08: ~25 MB/s tunnel => ~70x
+    realtime ceiling for stereo 44.1 kHz f32).  Quantizing to 16 bits
+    on-device — the delivery precision of virtually every audio sink, and
+    exactly what libvorbisfile's ov_read() hands out — halves the link
+    bytes.  ~3e-5 quantization error, so parity tests never enable it.
     """
     return os.environ.get("NVT_FETCH_INT16", "") not in ("", "0")
+
+
+def overlap_fetches() -> bool:
+    """Should decode loops overlap device->host fetches with the next
+    chunk's upload/compute?  Default yes.
+
+    Measured A/B through the axon tunnel relay (8 streams, 16-repeat
+    fixture, span traces 2026-08-16): overlapped 15.8x vs serialized
+    9.8x — the fetch thread loses some rate to relay multiplexing, but
+    hiding the next chunk's device compute + host collect under the
+    transfer wins overall.  Keep ``NVT_FETCH_OVERLAP=0`` as an escape
+    hatch for relays where a concurrent upload stalls fetches entirely.
+    """
+    return os.environ.get("NVT_FETCH_OVERLAP", "") != "0"
 
 
 def _get_pool():
     global _pool
     if _pool is None:
-        _pool = ThreadPoolExecutor(max_workers=6)
+        _pool = ThreadPoolExecutor(max_workers=2)
     return _pool
 
 
@@ -46,23 +72,31 @@ def fetch_np(arr) -> np.ndarray:
     """Fetch a jax array to host memory as numpy, robustly."""
     import jax
 
-    if jax.default_backend() == "cpu" or arr.nbytes <= _MAX_CHUNK_BYTES:
-        return np.asarray(jax.block_until_ready(arr))
+    from nvorbis_tpu.utils.profiling import span
+
+    max_bytes = _max_chunk_bytes()
+    if jax.default_backend() == "cpu" or arr.nbytes <= max_bytes:
+        with span("fetch.ready"):
+            arr = jax.block_until_ready(arr)
+        with span("fetch.xfer"):
+            return np.asarray(arr)
 
     rows = arr.shape[0]
     row_bytes = max(1, arr.nbytes // max(1, rows))
-    chunk = max(1, _MAX_CHUNK_BYTES // row_bytes)
+    chunk = max(1, max_bytes // row_bytes)
     # power-of-two chunk rows keep the set of slice shapes tiny
     p = 1
     while p * 2 <= chunk:
         p *= 2
     chunk = p
 
-    arr = jax.block_until_ready(arr)
-    slices = [arr[i : i + chunk] for i in range(0, rows, chunk)]
-    jax.block_until_ready(slices)
-    parts = list(_get_pool().map(np.asarray, slices))
-    return np.concatenate(parts, axis=0)
+    with span("fetch.ready"):
+        arr = jax.block_until_ready(arr)
+        slices = [arr[i : i + chunk] for i in range(0, rows, chunk)]
+        jax.block_until_ready(slices)
+    with span("fetch.xfer"):
+        parts = list(_get_pool().map(np.asarray, slices))
+        return np.concatenate(parts, axis=0)
 
 
 def fetch_pcm(arr) -> np.ndarray:
