@@ -165,7 +165,9 @@ class BatchDecoder:
     def __init__(self, sources, mesh=None, clip_samples=True):
         import nvorbis_tpu as nv
         from nvorbis_tpu.native import NativeUnpacker
+        from nvorbis_tpu.utils.jaxinit import ensure_compile_cache
 
+        ensure_compile_cache()
         self.clip_samples = clip_samples
         self._mesh_key = None
         if mesh is not None:

@@ -305,6 +305,9 @@ class DeviceSynth:
     """
 
     def __init__(self, setup, mode, max_posts=None):
+        from nvorbis_tpu.utils.jaxinit import ensure_compile_cache
+
+        ensure_compile_cache()
         self.mode = mode
         mapping = mode.mapping
         self.channels = setup.channels
