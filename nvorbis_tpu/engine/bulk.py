@@ -24,6 +24,7 @@ a high-latency link.
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -31,11 +32,12 @@ import jax.numpy as jnp
 
 from nvorbis_tpu.synth.device import DeviceSynth, synth_core
 
-CHUNK_FRAMES = 8192
+CHUNK_FRAMES = int(os.environ.get("NVT_CHUNK_FRAMES", "8192"))
 # per-block-size collection cap: full chunks then hold exactly this many
 # frames of the dominant size (a power of two), so their padded bucket
 # shapes — and therefore the compiled program — repeat across chunks
-CAP_PER_SIZE = 4096
+CAP_PER_SIZE = int(os.environ.get("NVT_CAP_PER_SIZE",
+                                  str(max(1, CHUNK_FRAMES // 2))))
 L_QUANTUM = 65536
 
 

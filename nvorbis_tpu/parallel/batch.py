@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from nvorbis_tpu.codec.floor import Floor1
 from nvorbis_tpu.engine.bulk import (
-    StreamPlanner, _round_up, peek_mode_index, CAP_PER_SIZE, L_QUANTUM,
+    StreamPlanner, _round_up, peek_mode_index, CAP_PER_SIZE, CHUNK_FRAMES,
+    L_QUANTUM,
 )
 from nvorbis_tpu.ogg.fast_packets import plan_job
 from nvorbis_tpu.synth.device import synth_spectra, floor1_bin_map, _XS_PAD
@@ -38,7 +39,16 @@ from nvorbis_tpu.synth.oracle import imdct_basis
 from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
 from nvorbis_tpu.utils.fetch import fetch_pcm
 
-CHUNK_FRAMES = 8192
+
+def _ready_on_main() -> bool:
+    """``NVT_READY_MAIN=1``: the decode loop blocks on each chunk's device
+    compute on the main thread before handing the transfer to the fetch
+    worker, so the worker's device->host transfer is the only relay
+    traffic while it runs.  Default off (A/B'd 2026-08-16: relay-phase
+    noise dominated; kept as a tuning knob)."""
+    import os
+
+    return os.environ.get("NVT_READY_MAIN", "") not in ("", "0")
 
 
 def _bucket_size(b: int) -> int:
@@ -401,9 +411,14 @@ class BatchDecoder:
                 finish()
 
         if overlap_fetches():
-            # two chunks in flight: upload/compute of chunk k overlaps the
-            # device->host fetch of chunk k-2 while the host unpacks k+1.
-            # A single worker keeps per-stream chunk order.
+            # ready/xfer pipeline: the main thread blocks on chunk k's
+            # device compute (so the worker's device->host transfer is the
+            # ONLY relay traffic while it runs), then hands the transfer to
+            # the single worker and moves on to collect+dispatch k+1 —
+            # compute of k+1 overlaps the transfer of k.  A single worker
+            # keeps per-stream chunk order.
+            import jax as _jax
+
             pending = deque()
             with ThreadPoolExecutor(max_workers=1) as pool:
                 while active:
@@ -415,6 +430,11 @@ class BatchDecoder:
                         finish = self._dispatch(chunk, C, P, setup0,
                                                 xs_dev, win_dev, basis_dev,
                                                 sl_dev)
+                    if _ready_on_main():
+                        dev_out = getattr(finish, "device_out", None)
+                        if dev_out is not None:
+                            with span("batch.ready"):
+                                _jax.block_until_ready(dev_out)
                     pending.append(pool.submit(_run, finish))
                     while len(pending) > 2:
                         pending.popleft().result()
@@ -855,6 +875,15 @@ class BatchDecoder:
 
         def finish():
             host = fetch_pcm(out_f)
+            from nvorbis_tpu.utils.profiling import span
+
+            with span("batch.emit"):
+                _emit(host)
+
+        finish.device_out = out_f  # lets decode_all block on compute
+        # separately from the transfer (ready/xfer pipelining)
+
+        def _emit(host):
             for st, off, length in ranges:
                 flat = host[off : off + length].reshape(-1)
                 if st.pcm is not None:
