@@ -231,3 +231,47 @@ def test_floor0_bark_map_quirk():
     setup_cache_clear()  # don't leak the patched setup to later readers
     peak = max(1.0, float(np.abs(gold).max()))
     assert np.abs(gold - patched[: len(gold)]).max() <= 1e-6 + 5e-7 * peak
+
+
+@pytest.mark.parametrize("name", ["3test", "issue6test"])
+def test_seek_golden(fixture_dir, name):
+    """Granule-exact seeks adjudicated against the independent decode:
+    after ``sample_position = p`` the next window of samples must equal
+    libvorbis's whole-stream PCM at content offset ``p - delta``, where
+    ``delta = total_samples - len(gold)`` is the stream's granule-over-
+    claim (63 on issue6test, 0 on clean files).
+
+    NVorbis positions are *granule coordinates*: the sequential position
+    jumps by +delta at the first granule pickup (StreamDecoder.cs:358-363)
+    and SeekTo targets file granules as written, so on granule-shifted
+    streams content sample i lives at position i+delta.  libvorbis
+    instead normalizes ov_pcm_* to content coordinates.  We match the
+    reference; this test pins both the mapping and the PCM against the
+    independent decoder (engine-vs-engine seek tests can't catch a
+    positioning semantic both engines share)."""
+    path = f"{fixture_dir}/{name}.ogg"
+    gold = lvo.decode_file(path)
+
+    r = nv.VorbisReader(path, engine="oracle")
+    r.clip_samples = False
+    C = r.channels
+    delta = r.total_samples - len(gold)
+    assert delta == (63 if name == "issue6test" else 0)
+    n_read = 1000
+    rng = np.random.default_rng(3)
+    targets = sorted(
+        int(t) for t in rng.integers(delta, len(gold) - n_read, size=8)
+    )
+    buf = np.zeros(n_read * C, dtype=np.float32)
+    for p in targets:
+        r.sample_position = p
+        assert r.sample_position == p
+        got = 0
+        while got < len(buf):
+            n = r.read_samples(buffer=buf[got:])
+            if n == 0:
+                break
+            got += n
+        want = gold[p - delta : p - delta + got // C].reshape(-1)
+        assert np.abs(buf[:got] - want).max() <= 1e-6, (name, p)
+    r.dispose()
