@@ -375,7 +375,7 @@ class BulkDecoder:
         # one fetch worker: device->host transfers overlap the next chunk's
         # host unpack + upload (see parallel/batch.py for the same pattern);
         # disabled through a tunnel relay (utils.fetch.overlap_fetches)
-        from nvorbis_tpu.utils.fetch import overlap_fetches
+        from nvorbis_tpu.utils.fetch import overlap_fetches, ready_on_main
 
         overlap = overlap_fetches()
         pool = ThreadPoolExecutor(max_workers=1)
@@ -486,6 +486,12 @@ class BulkDecoder:
                     return f() if callable(f) else f
 
             if overlap:
+                dev_out = getattr(finish, "device_out", None)
+                if dev_out is not None and ready_on_main():
+                    # see parallel/batch.py _ready_on_main: keep the fetch
+                    # worker's transfer as the only relay traffic
+                    with span("bulk.ready"):
+                        jax.block_until_ready(dev_out)
                 out_chunks.append((pool.submit(_run), planner.emitted))
                 # bound in-flight fetches to two chunks
                 if len(out_chunks) > 2:
@@ -750,4 +756,5 @@ class BulkDecoder:
         def finish():
             return fetch_pcm(out_f)[:L_real].reshape(-1)
 
+        finish.device_out = out_f
         return finish

@@ -37,18 +37,7 @@ from nvorbis_tpu.ogg.fast_packets import plan_job
 from nvorbis_tpu.synth.device import synth_spectra, floor1_bin_map, _XS_PAD
 from nvorbis_tpu.synth.oracle import imdct_basis
 from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
-from nvorbis_tpu.utils.fetch import fetch_pcm
-
-
-def _ready_on_main() -> bool:
-    """``NVT_READY_MAIN=1``: the decode loop blocks on each chunk's device
-    compute on the main thread before handing the transfer to the fetch
-    worker, so the worker's device->host transfer is the only relay
-    traffic while it runs.  Default off (A/B'd 2026-08-16: relay-phase
-    noise dominated; kept as a tuning knob)."""
-    import os
-
-    return os.environ.get("NVT_READY_MAIN", "") not in ("", "0")
+from nvorbis_tpu.utils.fetch import fetch_pcm, ready_on_main
 
 
 def _bucket_size(b: int) -> int:
@@ -430,7 +419,7 @@ class BatchDecoder:
                         finish = self._dispatch(chunk, C, P, setup0,
                                                 xs_dev, win_dev, basis_dev,
                                                 sl_dev)
-                    if _ready_on_main():
+                    if ready_on_main():
                         dev_out = getattr(finish, "device_out", None)
                         if dev_out is not None:
                             with span("batch.ready"):

@@ -61,6 +61,18 @@ def overlap_fetches() -> bool:
     return os.environ.get("NVT_FETCH_OVERLAP", "") != "0"
 
 
+def ready_on_main() -> bool:
+    """``NVT_READY_MAIN`` (default on): decode loops block on each chunk's
+    device compute on the main thread before handing the transfer to the
+    fetch worker, so the worker's device->host transfer is the only relay
+    traffic while it runs.  In-process alternating A/B
+    (tools/ab_variants.py, 2026-08-16) won every adjacent pair: 9.3/8.7,
+    19.9/15.7, 25.4/23.8 x-realtime.  Set ``0`` to overlap compute into
+    the fetch worker instead (better when transfers and dispatch ride
+    independent paths, e.g. direct-attached devices)."""
+    return os.environ.get("NVT_READY_MAIN", "1") != "0"
+
+
 def _get_pool():
     global _pool
     if _pool is None:
