@@ -63,6 +63,29 @@ def _enable_compile_cache():
         pass
 
 
+def _probe_link():
+    """One 8 MB device-computed fetch: records which relay phase this bench
+    ran in (measured d2h drifts 7-44 MB/s in minutes-long phases), so the
+    absolute numbers below carry their context."""
+    import jax
+    import numpy as np
+
+    try:
+        g = jax.jit(lambda x: x + 1.0)
+        a = g(jax.device_put(np.zeros(2 * 1024 * 1024, np.float32)))
+        a.block_until_ready()
+        np.asarray(a)  # path warmup
+        b = g(a)
+        b.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(b)
+        rate = 8.0 / (time.perf_counter() - t0)
+        _emit({"metric": "link_d2h_MBps", "value": round(rate, 1),
+               "backend": jax.default_backend()})
+    except Exception as e:
+        _emit({"metric": "link_d2h_MBps", "error": str(e)[:200]})
+
+
 def _long_fixture(repeats=REPEATS):
     os.makedirs(CACHE_DIR, exist_ok=True)
     path = os.path.join(CACHE_DIR, f"long3_x{repeats}.ogg")
@@ -247,6 +270,7 @@ def main():
         _emit(headline, final=True)
         return
     _enable_compile_cache()
+    _probe_link()
 
     for name in CONFIGS:
         fn = _CFG_FNS.get(name)

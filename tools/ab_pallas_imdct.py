@@ -14,6 +14,12 @@ and the max-abs deviation between the two results.
 Usage: python tools/ab_pallas_imdct.py [K]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import functools
 import json
 import sys

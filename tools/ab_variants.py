@@ -12,6 +12,12 @@ Variants are toggled via NVT_READY_MAIN (read per decode call... set
 before each run) — extend `VARIANTS` for other knobs.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import os
 import statistics
 import sys

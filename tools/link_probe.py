@@ -9,6 +9,12 @@ which regime the *current* environment is in.
 Usage: python tools/link_probe.py [MB]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

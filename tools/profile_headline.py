@@ -7,6 +7,12 @@ the current TPU link is measurable rather than guessed.
 Usage: python tools/profile_headline.py [n_streams] [repeats]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 
