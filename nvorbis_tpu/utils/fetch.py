@@ -19,12 +19,59 @@ meshes) it degrades to a plain copy.
 """
 
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 _DEFAULT_CHUNK_BYTES = 32 * 1024 * 1024
 _pool = None
+
+
+def _watchdog_base() -> float:
+    """``NVT_FETCH_TIMEOUT`` (seconds, default 120; 0 disables): base of
+    the device->host fetch watchdog.  The axon relay has been observed to
+    wedge a long-lived session's transfer stream permanently while still
+    accepting fresh connections (2026-08-16: a bench sat 24 min at ~0
+    bytes/s on a link that served a new process at full rate) — without a
+    watchdog the decode, and anything driving it, hangs forever."""
+    v = os.environ.get("NVT_FETCH_TIMEOUT", "")
+    return float(v) if v else 120.0
+
+
+def _with_watchdog(fn, nbytes):
+    """Run ``fn`` (a blocking fetch) with a generous size-scaled timeout;
+    retry once on expiry (jax arrays are immutable, a second device_get is
+    safe), then raise.  The stuck attempt's daemon thread is abandoned —
+    leaking one thread beats hanging the process."""
+    base = _watchdog_base()
+    if base <= 0:
+        return fn()
+    # +1 s per 512 KB: a 32 MB piece gets base+64 s — far above any slow
+    # phase measured (7 MB/s), unreachable only when truly wedged
+    timeout = base + nbytes / (512 * 1024)
+    last = None
+    for _ in range(2):
+        box = {}
+
+        def run():
+            try:
+                box["out"] = fn()
+            except BaseException as e:  # surfaced on the caller thread
+                box["err"] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout)
+        if not t.is_alive():
+            if "err" in box:
+                raise box["err"]
+            return box["out"]
+        last = timeout
+    raise TimeoutError(
+        f"device->host fetch exceeded {last:.0f}s twice — transfer "
+        "stream wedged (relay stalled); aborting instead of hanging"
+    )
 
 
 def _max_chunk_bytes() -> int:
@@ -87,11 +134,13 @@ def fetch_np(arr) -> np.ndarray:
     from nvorbis_tpu.utils.profiling import span
 
     max_bytes = _max_chunk_bytes()
-    if jax.default_backend() == "cpu" or arr.nbytes <= max_bytes:
+    if jax.default_backend() == "cpu":
+        return np.asarray(jax.block_until_ready(arr))
+    if arr.nbytes <= max_bytes:
         with span("fetch.ready"):
             arr = jax.block_until_ready(arr)
         with span("fetch.xfer"):
-            return np.asarray(arr)
+            return _with_watchdog(lambda: np.asarray(arr), arr.nbytes)
 
     rows = arr.shape[0]
     row_bytes = max(1, arr.nbytes // max(1, rows))
@@ -107,7 +156,10 @@ def fetch_np(arr) -> np.ndarray:
         slices = [arr[i : i + chunk] for i in range(0, rows, chunk)]
         jax.block_until_ready(slices)
     with span("fetch.xfer"):
-        parts = list(_get_pool().map(np.asarray, slices))
+        parts = list(_get_pool().map(
+            lambda s: _with_watchdog(lambda: np.asarray(s), s.nbytes),
+            slices,
+        ))
         return np.concatenate(parts, axis=0)
 
 

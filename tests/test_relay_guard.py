@@ -76,3 +76,38 @@ def test_batch_decoder_raises(fixture_dir, monkeypatch):
     raw = open(fixture_dir / "1test.ogg", "rb").read()
     with pytest.raises(RuntimeError, match="relay"):
         BatchDecoder([raw]).decode_all()
+
+
+def test_fetch_watchdog_passthrough_and_retry(monkeypatch):
+    """The fetch watchdog returns results/errors transparently, retries a
+    hung attempt once, and raises TimeoutError when both attempts hang
+    (the 2026-08-16 wedged-relay incident: a transfer stream stalled
+    permanently while the relay kept accepting fresh connections)."""
+    import time
+
+    from nvorbis_tpu.utils import fetch
+
+    monkeypatch.setenv("NVT_FETCH_TIMEOUT", "0.2")
+    assert fetch._with_watchdog(lambda: 42, nbytes=0) == 42
+
+    with pytest.raises(ValueError, match="boom"):
+        fetch._with_watchdog(
+            lambda: (_ for _ in ()).throw(ValueError("boom")), nbytes=0
+        )
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            time.sleep(5)  # first attempt "wedges"
+        return "recovered"
+
+    assert fetch._with_watchdog(flaky, nbytes=0) == "recovered"
+    assert calls["n"] == 2
+
+    with pytest.raises(TimeoutError, match="wedged"):
+        fetch._with_watchdog(lambda: time.sleep(5), nbytes=0)
+
+    monkeypatch.setenv("NVT_FETCH_TIMEOUT", "0")  # disabled: direct call
+    assert fetch._with_watchdog(lambda: "direct", nbytes=1 << 40) == "direct"
