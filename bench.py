@@ -19,10 +19,16 @@ configs, default 1500), NVT_FETCH_INT16=1 (lossy 16-bit PCM transport —
 halves device->host bytes through a bandwidth-capped link).
 """
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
+
+# diagnosis hook for relay wedges: `kill -USR1 <pid>` dumps all thread
+# stacks to stderr without disturbing the run
+faulthandler.register(signal.SIGUSR1, file=sys.stderr)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 

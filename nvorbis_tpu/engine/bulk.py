@@ -375,7 +375,9 @@ class BulkDecoder:
         # one fetch worker: device->host transfers overlap the next chunk's
         # host unpack + upload (see parallel/batch.py for the same pattern);
         # disabled through a tunnel relay (utils.fetch.overlap_fetches)
-        from nvorbis_tpu.utils.fetch import overlap_fetches, ready_on_main
+        from nvorbis_tpu.utils.fetch import (
+            block_ready, overlap_fetches, ready_on_main,
+        )
 
         overlap = overlap_fetches()
         pool = ThreadPoolExecutor(max_workers=1)
@@ -491,7 +493,7 @@ class BulkDecoder:
                     # see parallel/batch.py _ready_on_main: keep the fetch
                     # worker's transfer as the only relay traffic
                     with span("bulk.ready"):
-                        jax.block_until_ready(dev_out)
+                        block_ready(dev_out)
                 out_chunks.append((pool.submit(_run), planner.emitted))
                 # bound in-flight fetches to two chunks
                 if len(out_chunks) > 2:

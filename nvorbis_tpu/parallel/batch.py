@@ -37,7 +37,7 @@ from nvorbis_tpu.ogg.fast_packets import plan_job
 from nvorbis_tpu.synth.device import synth_spectra, floor1_bin_map, _XS_PAD
 from nvorbis_tpu.synth.oracle import imdct_basis
 from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
-from nvorbis_tpu.utils.fetch import fetch_pcm, ready_on_main
+from nvorbis_tpu.utils.fetch import block_ready, fetch_pcm, ready_on_main
 
 
 def _bucket_size(b: int) -> int:
@@ -406,8 +406,6 @@ class BatchDecoder:
             # the single worker and moves on to collect+dispatch k+1 —
             # compute of k+1 overlaps the transfer of k.  A single worker
             # keeps per-stream chunk order.
-            import jax as _jax
-
             pending = deque()
             with ThreadPoolExecutor(max_workers=1) as pool:
                 while active:
@@ -423,7 +421,7 @@ class BatchDecoder:
                         dev_out = getattr(finish, "device_out", None)
                         if dev_out is not None:
                             with span("batch.ready"):
-                                _jax.block_until_ready(dev_out)
+                                block_ready(dev_out)
                     pending.append(pool.submit(_run, finish))
                     while len(pending) > 2:
                         pending.popleft().result()

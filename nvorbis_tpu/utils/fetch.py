@@ -120,6 +120,17 @@ def ready_on_main() -> bool:
     return os.environ.get("NVT_READY_MAIN", "1") != "0"
 
 
+def block_ready(arr):
+    """``jax.block_until_ready`` under the fetch watchdog: the wedge can
+    hit the completion wait (observed busy-spinning at 67% CPU with zero
+    relay traffic), not just the transfer.  Safe to retry — jax arrays
+    are immutable and waiting is idempotent."""
+    import jax
+
+    nbytes = getattr(arr, "nbytes", 0) or 0
+    return _with_watchdog(lambda: jax.block_until_ready(arr), nbytes)
+
+
 def _get_pool():
     global _pool
     if _pool is None:
@@ -138,7 +149,7 @@ def fetch_np(arr) -> np.ndarray:
         return np.asarray(jax.block_until_ready(arr))
     if arr.nbytes <= max_bytes:
         with span("fetch.ready"):
-            arr = jax.block_until_ready(arr)
+            arr = block_ready(arr)
         with span("fetch.xfer"):
             return _with_watchdog(lambda: np.asarray(arr), arr.nbytes)
 
@@ -152,9 +163,9 @@ def fetch_np(arr) -> np.ndarray:
     chunk = p
 
     with span("fetch.ready"):
-        arr = jax.block_until_ready(arr)
+        arr = block_ready(arr)
         slices = [arr[i : i + chunk] for i in range(0, rows, chunk)]
-        jax.block_until_ready(slices)
+        block_ready(slices)
     with span("fetch.xfer"):
         parts = list(_get_pool().map(
             lambda s: _with_watchdog(lambda: np.asarray(s), s.nbytes),
