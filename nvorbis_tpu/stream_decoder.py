@@ -153,8 +153,34 @@ class StreamDecoder:
             -1, packet.bits_read, packet.bits_remaining, packet.container_overhead_bits
         )
 
+    def _short_stream(self) -> bool:
+        """Short streams decode on the host oracle under ``engine="auto"``:
+        a remote device pays ~1 s of fixed dispatch/transfer latency per
+        decode, so below ``NVT_DEVICE_MIN_SECS`` (default 3.0; 0 disables)
+        of audio the host wins outright (measured: 1test.ogg 0.39 s —
+        oracle 108x vs 0.9x through the TPU relay; breakeven from the
+        oracle's worst 2.4x long-block rate is ~2.7 s)."""
+        import os
+
+        try:
+            secs = float(os.environ.get("NVT_DEVICE_MIN_SECS", "3.0"))
+        except ValueError:
+            return False
+        if secs <= 0:
+            return False
+        try:
+            provider = self._packet_provider
+            if provider is None or not getattr(provider, "can_seek", False):
+                return False
+            total = provider.get_granule_count()
+            return total is not None and total < secs * self.sample_rate
+        except Exception:
+            return False
+
     def _make_pipeline(self, engine: str):
         if engine == "oracle":
+            return _OraclePipeline(self)
+        if engine == "auto" and self._short_stream():
             return _OraclePipeline(self)
         if engine in ("jax", "auto"):
             from nvorbis_tpu.utils.relay import jax_backend_safe

@@ -55,8 +55,11 @@ def test_backend_safe_without_plugin(monkeypatch):
 
 def test_auto_falls_back_to_oracle(fixture_dir, monkeypatch):
     monkeypatch.setattr(relay, "jax_backend_safe", lambda: False)
+    # 3test is above NVT_DEVICE_MIN_SECS, so auto targets the device and
+    # must warn-and-fall-back; a short fixture would take the oracle
+    # before the relay probe (see StreamDecoder._short_stream)
     with pytest.warns(RuntimeWarning, match="falling back"):
-        r = nv.VorbisReader(str(fixture_dir / "1test.ogg"))
+        r = nv.VorbisReader(str(fixture_dir / "3test.ogg"))
     # decodes fully on the oracle pipeline, no device touch
     pcm = r.read_all()
     assert len(pcm) > 0 and np.isfinite(pcm).all()
@@ -111,3 +114,21 @@ def test_fetch_watchdog_passthrough_and_retry(monkeypatch):
 
     monkeypatch.setenv("NVT_FETCH_TIMEOUT", "0")  # disabled: direct call
     assert fetch._with_watchdog(lambda: "direct", nbytes=1 << 40) == "direct"
+
+
+def test_short_stream_auto_uses_oracle(fixture_dir, monkeypatch):
+    """Under engine="auto", streams shorter than NVT_DEVICE_MIN_SECS decode
+    on the host oracle (a remote device pays ~1 s fixed latency per decode:
+    measured 108x host vs 0.9x device on the 0.39 s fixture)."""
+    from nvorbis_tpu.stream_decoder import _OraclePipeline
+
+    r = nv.VorbisReader(str(fixture_dir / "1test.ogg"))
+    assert isinstance(r._stream_decoder._pipeline, _OraclePipeline)
+    pcm = r.read_all()
+    assert len(pcm) > 0
+    r.dispose()
+
+    monkeypatch.setenv("NVT_DEVICE_MIN_SECS", "0")
+    r = nv.VorbisReader(str(fixture_dir / "1test.ogg"))
+    assert not isinstance(r._stream_decoder._pipeline, _OraclePipeline)
+    r.dispose()
