@@ -281,12 +281,19 @@ def main():
     _enable_compile_cache()
     _probe_link()
 
+    # a config started near the budget edge can overrun an external
+    # timeout by many minutes in a slow relay phase; require enough
+    # headroom for the expensive ones before starting them
+    MIN_LEFT = {"batch64": 600.0, "longform_batch_int16": 400.0,
+                "surround51_48k": 200.0}
+
+    headline_emitted = False
     for name in CONFIGS:
         fn = _CFG_FNS.get(name)
         if fn is None:
             print(f"unknown bench config {name!r}", file=sys.stderr)
             continue
-        if name != "longform_batch" and _budget_left() <= 0:
+        if name != "longform_batch" and _budget_left() < MIN_LEFT.get(name, 0.0):
             _emit({"metric": name, "skipped": "budget exhausted"})
             continue
         try:
@@ -300,9 +307,13 @@ def main():
             line["vs_baseline"] = None
         _emit(line)
         if line["metric"] == headline["metric"] and "error" not in line:
-            headline = line
+            # stdout carries the headline the moment it exists, so an
+            # external timeout killing a later config can't zero the round
+            _emit(line, final=True)
+            headline_emitted = True
 
-    _emit(headline, final=True)
+    if not headline_emitted:
+        _emit(headline, final=True)
 
 
 if __name__ == "__main__":
