@@ -276,7 +276,7 @@ def _bulk_program(cfg):
     index of the segment's first primary sample), sec [S_pad], sec_len
     [S_pad].  Output: raw (unclipped) samples ``[L_pad, C]``.
     """
-    C, L_pad, S_pad, buckets = cfg
+    C, L_pad, S_pad, buckets = cfg[:4]
     n_max = max(b[2] for b in buckets)
 
     def fn(*flat):
@@ -323,7 +323,15 @@ def _bulk_program(cfg):
         live2 = t < jnp.take(sec_len, f)
         i2 = jnp.clip(jnp.take(sec, f) + t, 0, nrows - 1)
         b = jnp.where(live2[:, None], jnp.take(rows, i2, axis=0), 0.0)
-        return a + b
+        out = a + b
+        if len(cfg) > 4 and cfg[4]:
+            # int16 transport quantization fused (NVT_FETCH_INT16); the
+            # stream decoder's clip pass runs after dequantization, and
+            # quantization's own clip(-1,1) subsumes it numerically
+            out = jnp.round(
+                jnp.clip(out, -1.0, 1.0) * 32767.0
+            ).astype(jnp.int16)
+        return out
 
     return jax.jit(fn)
 
@@ -743,7 +751,10 @@ class BulkDecoder:
             jnp.asarray(segE), jnp.asarray(prim), jnp.asarray(sec),
             jnp.asarray(sec_len),
         ])
-        fn = _bulk_program((C, L_pad, S_pad, tuple(cfg_buckets)))
+        from nvorbis_tpu.utils.fetch import int16_transport_enabled
+
+        i16 = int16_transport_enabled()
+        fn = _bulk_program((C, L_pad, S_pad, tuple(cfg_buckets), i16))
         out = fn(*args)
 
         # async chunked fetch: the device->host copy of this chunk overlaps
@@ -756,7 +767,7 @@ class BulkDecoder:
         out_f = out[:L_fetch] if L_fetch != L_pad else out
 
         def finish():
-            return fetch_pcm(out_f)[:L_real].reshape(-1)
+            return fetch_pcm(out_f, quantized=i16)[:L_real].reshape(-1)
 
         finish.device_out = out_f
         return finish

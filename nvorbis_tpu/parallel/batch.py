@@ -37,7 +37,9 @@ from nvorbis_tpu.ogg.fast_packets import plan_job
 from nvorbis_tpu.synth.device import synth_spectra, floor1_bin_map, _XS_PAD
 from nvorbis_tpu.synth.oracle import imdct_basis
 from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
-from nvorbis_tpu.utils.fetch import block_ready, fetch_pcm, ready_on_main
+from nvorbis_tpu.utils.fetch import (
+    block_ready, fetch_pcm, int16_transport_enabled, ready_on_main,
+)
 
 
 def _bucket_size(b: int) -> int:
@@ -63,7 +65,7 @@ def _batch_program(cfg, mesh_key=None):
     classes [B,CHR,n_part], ids_flat [N_pad], frame_base [B] and append the
     five plan tables; then segE [S_pad+1], prim, sec, sec_len.
     """
-    C, L_pad, S_pad, buckets, clip = cfg
+    C, L_pad, S_pad, buckets, clip, i16 = cfg
     n_max = max(b[2] for b in buckets)
 
     def fn(*flat):
@@ -116,6 +118,13 @@ def _batch_program(cfg, mesh_key=None):
         if clip:
             # fused into the epilogue: saves a whole-output host clip pass
             out = jnp.clip(out, -CLIP_LIMIT, CLIP_LIMIT)
+        if i16:
+            # int16 transport quantization fused too (NVT_FETCH_INT16):
+            # same math as utils.fetch.fetch_pcm's post-hoc op, minus the
+            # extra dispatches and the f32 intermediate in HBM
+            out = jnp.round(
+                jnp.clip(out, -1.0, 1.0) * 32767.0
+            ).astype(jnp.int16)
         return out
 
     if mesh_key is None:
@@ -852,8 +861,9 @@ class BatchDecoder:
             jnp.asarray(sec_len),
         ])
 
+        i16 = int16_transport_enabled()
         fn = _batch_program(
-            (C, L_pad, S_pad, tuple(cfg_buckets), self.clip_samples),
+            (C, L_pad, S_pad, tuple(cfg_buckets), self.clip_samples, i16),
             self._mesh_key,
         )
         out = fn(*args)
@@ -861,7 +871,7 @@ class BatchDecoder:
         out_f = out[:L_fetch] if L_fetch != L_pad else out
 
         def finish():
-            host = fetch_pcm(out_f)
+            host = fetch_pcm(out_f, quantized=i16)
             from nvorbis_tpu.utils.profiling import span
 
             with span("batch.emit"):

@@ -174,9 +174,15 @@ def fetch_np(arr) -> np.ndarray:
         return np.concatenate(parts, axis=0)
 
 
-def fetch_pcm(arr) -> np.ndarray:
-    """Fetch device PCM (float32) to host; int16 over the wire when opted
-    in via ``NVT_FETCH_INT16=1`` (see :func:`int16_transport_enabled`)."""
+def fetch_pcm(arr, quantized: bool = False) -> np.ndarray:
+    """Fetch device PCM to host; int16 over the wire when opted in via
+    ``NVT_FETCH_INT16=1`` (see :func:`int16_transport_enabled`).
+
+    ``quantized=True``: the chunk program already emitted int16 in its
+    epilogue (fused quantization) — just fetch and dequantize."""
+    if quantized:
+        host = fetch_np(arr)
+        return host.astype(np.float32) * np.float32(1.0 / 32767.0)
     if not int16_transport_enabled():
         return fetch_np(arr)
     import jax.numpy as jnp
