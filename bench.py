@@ -285,7 +285,11 @@ def main():
     # timeout by many minutes in a slow relay phase; require enough
     # headroom for the expensive ones before starting them
     MIN_LEFT = {"batch64": 600.0, "longform_batch_int16": 400.0,
-                "surround51_48k": 200.0}
+                "surround51_48k": 200.0,
+                # cheap configs (host-oracle decode, a second of seeks)
+                # always run, even after a slow phase ate the budget
+                "decode_1test_wav": float("-inf"),
+                "chained_seek": float("-inf")}
 
     headline_emitted = False
     for name in CONFIGS:
