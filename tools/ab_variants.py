@@ -44,14 +44,15 @@ raws = [raw] * N
 
 from nvorbis_tpu.parallel.batch import BatchDecoder
 
+# each variant: env overrides + optional stream count override
 VARIANTS = {
-    "ready_worker": {"NVT_READY_MAIN": ""},
-    "ready_main": {"NVT_READY_MAIN": "1"},
+    "streams8": {"env": {}, "n": 8},
+    "streams16": {"env": {}, "n": 16},
 }
 
 
-def once():
-    bd = BatchDecoder(raws)
+def once(n):
+    bd = BatchDecoder([raw] * n)
     outs = bd.decode_all()
     total = 0.0
     for st, o in zip(bd._streams, outs):
@@ -59,21 +60,27 @@ def once():
     return total
 
 
-t0 = time.perf_counter()
-audio = once()
-print(f"warm: {audio / (time.perf_counter() - t0):.1f}x", file=sys.stderr,
-      flush=True)
+def apply_env(env):
+    for k, v in env.items():
+        if v:
+            os.environ[k] = v
+        else:
+            os.environ.pop(k, None)
+
+
+for name, spec in VARIANTS.items():  # warm every variant's shapes
+    apply_env(spec.get("env", {}))
+    t0 = time.perf_counter()
+    audio = once(spec.get("n", N))
+    print(f"warm {name}: {audio / (time.perf_counter() - t0):.1f}x",
+          file=sys.stderr, flush=True)
 
 results = {k: [] for k in VARIANTS}
 for c in range(CYCLES):
-    for name, env in VARIANTS.items():
-        for k, v in env.items():
-            if v:
-                os.environ[k] = v
-            else:
-                os.environ.pop(k, None)
+    for name, spec in VARIANTS.items():
+        apply_env(spec.get("env", {}))
         t0 = time.perf_counter()
-        audio = once()
+        audio = once(spec.get("n", N))
         x = audio / (time.perf_counter() - t0)
         results[name].append(x)
         print(f"cycle {c} {name}: {x:.1f}x", file=sys.stderr, flush=True)
