@@ -320,5 +320,93 @@ def main():
         _emit(headline, final=True)
 
 
+def parent_main():
+    """Process-per-config orchestration (default).
+
+    The relay can permanently wedge a long-lived session's transfer
+    stream (observed repeatedly: sessions moving GBs wedge after
+    ~10-20 min while FRESH processes run at full rate), so each config
+    runs in its own child process: a wedge costs one config one timeout,
+    not the round, and the headline gets a second attempt in a fresh
+    session.  ``NVT_BENCH_CHILD=1`` marks children (they run ``main``
+    directly); ``NVT_BENCH_NO_FORK=1`` disables orchestration entirely.
+    """
+    import subprocess
+
+    if not _tpu_link_alive():
+        print("TPU tunnel relay is down (connection refused on :8082); "
+              "jax init would hang — aborting bench.", file=sys.stderr)
+        _emit({"metric": "decode_throughput_stereo_44k1_longform_batch",
+               "value": 0.0, "unit": "x_realtime_per_chip",
+               "vs_baseline": 0.0}, final=True)
+        return
+
+    MIN_LEFT = {"batch64": 600.0, "longform_batch_int16": 400.0,
+                "surround51_48k": 200.0,
+                "decode_1test_wav": float("-inf"),
+                "chained_seek": float("-inf")}
+    HEADLINE = "longform_batch"
+    headline_line = None
+
+    for name in CONFIGS:
+        if name not in _CFG_FNS:
+            print(f"unknown bench config {name!r}", file=sys.stderr)
+            continue
+        if name != HEADLINE and _budget_left() < MIN_LEFT.get(name, 0.0):
+            _emit({"metric": name, "skipped": "budget exhausted"})
+            continue
+        attempts = 2 if name == HEADLINE else 1
+        limit = 1500.0 if name == HEADLINE else max(
+            300.0, min(1200.0, _budget_left())
+        )
+        for attempt in range(attempts):
+            env = dict(os.environ)
+            env["NVT_BENCH_CHILD"] = "1"
+            env["NVT_BENCH_CONFIGS"] = name
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, timeout=limit,
+                )
+                out, err = proc.stdout, proc.stderr
+            except subprocess.TimeoutExpired as e:
+                out = (e.stdout or b"").decode() if isinstance(
+                    e.stdout, bytes) else (e.stdout or "")
+                err = (e.stderr or b"").decode() if isinstance(
+                    e.stderr, bytes) else (e.stderr or "")
+                _emit({"metric": name, "attempt": attempt,
+                       "error": f"config exceeded {limit:.0f}s (killed)"})
+            # relay the child's JSON stderr lines (metrics, probe, errors)
+            got_value = False
+            for ln in err.splitlines():
+                if ln.startswith("{"):
+                    print(ln, file=sys.stderr, flush=True)
+                    try:
+                        rec = json.loads(ln)
+                    except ValueError:
+                        continue
+                    if rec.get("metric") == _HEADLINE_METRIC and \
+                            rec.get("value") and headline_line is None:
+                        headline_line = rec
+                        _emit(rec, final=True)
+                    if "value" in rec and rec.get("metric") not in (
+                            "link_d2h_MBps",):
+                        got_value = True
+            if got_value:
+                break
+
+    if headline_line is None:
+        _emit({"metric": _HEADLINE_METRIC, "value": 0.0,
+               "unit": "x_realtime_per_chip", "vs_baseline": 0.0},
+              final=True)
+
+
+_HEADLINE_METRIC = "decode_throughput_stereo_44k1_longform_batch"
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("NVT_BENCH_CHILD") or \
+            os.environ.get("NVT_BENCH_NO_FORK"):
+        main()
+    else:
+        parent_main()

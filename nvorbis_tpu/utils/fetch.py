@@ -39,14 +39,33 @@ def _watchdog_base() -> float:
     return float(v) if v else 120.0
 
 
+_wedged = False
+
+
+def link_wedged() -> bool:
+    """True once a watchdog timeout has fired in this process: the relay
+    session's transfer stream is dead and every later device->host fetch
+    would eat the full double timeout before failing.  Fresh processes
+    get fresh sessions (measured working at full rate minutes after a
+    wedge), so the right recovery is restart-the-work, not retry here."""
+    return _wedged
+
+
 def _with_watchdog(fn, nbytes):
     """Run ``fn`` (a blocking fetch) with a generous size-scaled timeout;
     retry once on expiry (jax arrays are immutable, a second device_get is
     safe), then raise.  The stuck attempt's daemon thread is abandoned —
     leaking one thread beats hanging the process."""
+    global _wedged
     base = _watchdog_base()
     if base <= 0:
         return fn()
+    if _wedged:
+        raise TimeoutError(
+            "device->host transfer stream already wedged in this process "
+            "(previous watchdog expiry); restart the process for a fresh "
+            "relay session"
+        )
     # +1 s per 512 KB: a 32 MB piece gets base+64 s — far above any slow
     # phase measured (7 MB/s), unreachable only when truly wedged
     timeout = base + nbytes / (512 * 1024)
@@ -68,6 +87,7 @@ def _with_watchdog(fn, nbytes):
                 raise box["err"]
             return box["out"]
         last = timeout
+    _wedged = True
     raise TimeoutError(
         f"device->host fetch exceeded {last:.0f}s twice — transfer "
         "stream wedged (relay stalled); aborting instead of hanging"

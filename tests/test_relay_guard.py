@@ -112,6 +112,13 @@ def test_fetch_watchdog_passthrough_and_retry(monkeypatch):
     with pytest.raises(TimeoutError, match="wedged"):
         fetch._with_watchdog(lambda: time.sleep(5), nbytes=0)
 
+    # double expiry poisons the process: later fetches fail fast instead
+    # of eating the full double timeout each
+    assert fetch.link_wedged()
+    with pytest.raises(TimeoutError, match="already wedged"):
+        fetch._with_watchdog(lambda: 1, nbytes=0)
+    monkeypatch.setattr(fetch, "_wedged", False)  # un-poison for the suite
+
     monkeypatch.setenv("NVT_FETCH_TIMEOUT", "0")  # disabled: direct call
     assert fetch._with_watchdog(lambda: "direct", nbytes=1 << 40) == "direct"
 
