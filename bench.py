@@ -400,6 +400,8 @@ def parent_main():
                 if headline_line is not None and \
                         headline_line.get("value", 0) >= RETRY_BELOW:
                     break
+                if _budget_left() < 600.0:
+                    break  # a slow-phase retry can't fit; keep attempt 1
             elif got_value:
                 break
         if name == HEADLINE and headline_line is not None:
