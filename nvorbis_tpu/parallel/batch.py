@@ -881,6 +881,8 @@ class BatchDecoder:
         # separately from the transfer (ready/xfer pipelining)
 
         def _emit(host):
+            import ctypes
+
             for st, off, length in ranges:
                 flat = host[off : off + length].reshape(-1)
                 if st.pcm is not None:
@@ -888,14 +890,29 @@ class BatchDecoder:
                     # no end-of-decode concatenate pass
                     pos = st.out_pos
                     end = pos + flat.size
+
+
                     if end <= st.pcm.size:
-                        st.pcm[pos:end] = flat
+                        if flat.flags.c_contiguous and \
+                                flat.dtype == st.pcm.dtype:
+                            # ctypes.memmove releases the GIL during the
+                            # copy (a numpy slice assignment holds it):
+                            # emit runs on the fetch worker and must not
+                            # contend with the main thread's collect of
+                            # the next chunk
+                            ctypes.memmove(
+                                st.pcm.ctypes.data + pos * st.pcm.itemsize,
+                                flat.ctypes.data,
+                                flat.size * flat.itemsize,
+                            )
+                        else:
+                            st.pcm[pos:end] = flat
                         st.out_pos = end
                         continue
                     # estimate overrun (trim-free stream oddity): spill
                     st.out.append(st.pcm[:pos].copy())
                     st.pcm = None
-                st.out.append(flat)
+                st.out.append(flat.copy())
 
         return finish
 
