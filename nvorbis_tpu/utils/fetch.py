@@ -144,9 +144,12 @@ def block_ready(arr):
     """``jax.block_until_ready`` under the fetch watchdog: the wedge can
     hit the completion wait (observed busy-spinning at 67% CPU with zero
     relay traffic), not just the transfer.  Safe to retry — jax arrays
-    are immutable and waiting is idempotent."""
+    are immutable and waiting is idempotent.  CPU backend waits directly:
+    there is no relay to wedge (and no reason to burn a thread)."""
     import jax
 
+    if jax.default_backend() == "cpu":
+        return jax.block_until_ready(arr)
     nbytes = getattr(arr, "nbytes", 0) or 0
     return _with_watchdog(lambda: jax.block_until_ready(arr), nbytes)
 

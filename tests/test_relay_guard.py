@@ -117,7 +117,9 @@ def test_fetch_watchdog_passthrough_and_retry(monkeypatch):
     assert fetch.link_wedged()
     with pytest.raises(TimeoutError, match="already wedged"):
         fetch._with_watchdog(lambda: 1, nbytes=0)
-    monkeypatch.setattr(fetch, "_wedged", False)  # un-poison for the suite
+    # un-poison directly: monkeypatch.setattr would RESTORE the poisoned
+    # True at teardown and break every later device-touching test
+    fetch._wedged = False
 
     monkeypatch.setenv("NVT_FETCH_TIMEOUT", "0")  # disabled: direct call
     assert fetch._with_watchdog(lambda: "direct", nbytes=1 << 40) == "direct"
