@@ -368,19 +368,27 @@ def parent_main():
         # phases drift minutes apart).
         RETRY_BELOW = 20.0
         if name == HEADLINE:
+            # progressively smaller fallbacks: the relay has been observed
+            # anywhere from 44 down to 0.7 MB/s; the last tier's ~18 MB of
+            # PCM completes in bounded time on even a near-dead link
             plans = [({}, 1500.0),
                      ({"NVT_BENCH_REPEATS": "16", "NVT_BENCH_REPS": "1"},
-                      700.0)]
+                      700.0),
+                     ({"NVT_BENCH_REPEATS": "4", "NVT_BENCH_REPS": "1",
+                       "NVT_BENCH_STREAMS": "2"}, 500.0)]
         else:
             plans = [({}, max(300.0, min(1200.0, _budget_left())))]
+        retried_full = False
         for attempt, (extra_env, limit) in enumerate(plans):
             if name == HEADLINE and attempt > 0 and headline_line is not None:
-                # a full-size value exists; only re-run (full size) on a
-                # slow phase with budget to spare
-                if headline_line.get("value", 0) >= RETRY_BELOW or \
+                # a value exists; the only reason to continue is ONE
+                # full-size re-run on a slow phase with budget to spare
+                if retried_full or \
+                        headline_line.get("value", 0) >= RETRY_BELOW or \
                         _budget_left() < 600.0:
                     break
                 extra_env, limit = {}, 1500.0
+                retried_full = True
             env = dict(os.environ)
             env.update(extra_env)
             env["NVT_BENCH_CHILD"] = "1"
