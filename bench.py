@@ -377,7 +377,9 @@ def parent_main():
                      ({"NVT_BENCH_REPEATS": "4", "NVT_BENCH_REPS": "1",
                        "NVT_BENCH_STREAMS": "2"}, 500.0)]
         else:
-            plans = [({}, max(300.0, min(1200.0, _budget_left())))]
+            # 600 s floor: even "cheap" configs pay compile + relay
+            # latency in a slow phase (a 300 s limit killed a seek child)
+            plans = [({}, max(600.0, min(1200.0, _budget_left())))]
         retried_full = False
         for attempt, (extra_env, limit) in enumerate(plans):
             if name == HEADLINE and attempt > 0 and headline_line is not None:
