@@ -282,7 +282,10 @@ def main():
         _emit(headline, final=True)
         return
     _enable_compile_cache()
-    _probe_link()
+    if not os.environ.get("NVT_BENCH_SKIP_PROBE"):
+        _probe_link()
+    if os.environ.get("NVT_BENCH_PROBE_ONLY"):
+        return  # phase-probe child: the link line above is the output
 
     # a config started near the budget edge can overrun an external
     # timeout by many minutes in a slow relay phase; require enough
@@ -351,6 +354,30 @@ def parent_main():
     HEADLINE = "longform_batch"
     headline_line = None
 
+    # probe the relay phase first (own child: the probe itself can wedge)
+    # to pick the headline's starting tier — a full-size attempt through a
+    # <3 MB/s phase burns 25 min and dies
+    link_rate = None
+    try:
+        env = dict(os.environ)
+        env["NVT_BENCH_CHILD"] = "1"
+        env["NVT_BENCH_PROBE_ONLY"] = "1"
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=180,
+        )
+        for ln in proc.stderr.splitlines():
+            if ln.startswith("{"):
+                print(ln, file=sys.stderr, flush=True)
+                rec = json.loads(ln)
+                if rec.get("metric") == "link_d2h_MBps" and "value" in rec:
+                    link_rate = rec["value"]
+    except subprocess.TimeoutExpired:
+        link_rate = 0.0  # probe wedged: treat the link as near-dead
+        _emit({"metric": "link_probe", "error": "probe child wedged/killed"})
+    except Exception as e:
+        _emit({"metric": "link_probe", "error": str(e)[:120]})
+
     for name in CONFIGS:
         if name not in _CFG_FNS:
             print(f"unknown bench config {name!r}", file=sys.stderr)
@@ -368,14 +395,18 @@ def parent_main():
         # phases drift minutes apart).
         RETRY_BELOW = 20.0
         if name == HEADLINE:
-            # progressively smaller fallbacks: the relay has been observed
-            # anywhere from 44 down to 0.7 MB/s; the last tier's ~18 MB of
-            # PCM completes in bounded time on even a near-dead link
+            # progressively smaller tiers: the relay has been observed
+            # anywhere from 44 down to <0.1 MB/s; the smallest tier's
+            # ~18 MB of PCM completes in bounded time on a crawling link.
+            # The upfront phase probe picks the starting tier so a dead
+            # phase doesn't burn 25 min on a doomed full-size attempt.
             plans = [({}, 1500.0),
                      ({"NVT_BENCH_REPEATS": "16", "NVT_BENCH_REPS": "1"},
                       700.0),
                      ({"NVT_BENCH_REPEATS": "4", "NVT_BENCH_REPS": "1",
                        "NVT_BENCH_STREAMS": "2"}, 500.0)]
+            if link_rate is not None and link_rate < 8.0:
+                plans = plans[1:] if link_rate >= 1.0 else plans[2:]
         else:
             # 600 s floor: even "cheap" configs pay compile + relay
             # latency in a slow phase (a 300 s limit killed a seek child)
@@ -395,6 +426,10 @@ def parent_main():
             env.update(extra_env)
             env["NVT_BENCH_CHILD"] = "1"
             env["NVT_BENCH_CONFIGS"] = name
+            if name == HEADLINE and attempt == 0 and link_rate is None:
+                pass  # no phase info yet: let this child emit its own probe
+            else:
+                env["NVT_BENCH_SKIP_PROBE"] = "1"
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
