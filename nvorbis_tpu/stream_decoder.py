@@ -314,7 +314,24 @@ class StreamDecoder:
         from nvorbis_tpu.engine.bulk import BulkDecoder
 
         self._started = True
-        pcm = BulkDecoder(self, native).run()
+        try:
+            pcm = BulkDecoder(self, native).run()
+        except TimeoutError as e:
+            # the remote device link wedged mid-decode (see
+            # utils/fetch.py watchdog).  On a seekable source, recover
+            # onto the host oracle instead of surfacing an error: rewind
+            # and let the caller's read() loop decode host-side.
+            if not getattr(self._packet_provider, "can_seek", False):
+                raise
+            import warnings
+
+            warnings.warn(
+                f"device link failed mid-decode ({e}); continuing on the "
+                "host oracle engine", RuntimeWarning, stacklevel=3,
+            )
+            self._pipeline = _OraclePipeline(self)
+            self.seek_to(0)
+            return None
         if pcm is None:
             return None
         if self.clip_samples and pcm.size:

@@ -141,3 +141,25 @@ def test_short_stream_auto_uses_oracle(fixture_dir, monkeypatch):
     r = nv.VorbisReader(str(fixture_dir / "1test.ogg"))
     assert not isinstance(r._stream_decoder._pipeline, _OraclePipeline)
     r.dispose()
+
+
+def test_bulk_timeout_recovers_on_oracle(fixture_dir, monkeypatch):
+    """A wedged device link mid-decode_all (fetch watchdog TimeoutError)
+    degrades to the host oracle on seekable sources: read_all still
+    returns the full, correct PCM."""
+    from nvorbis_tpu.engine import bulk as bulk_mod
+
+    gold = nv.VorbisReader(
+        str(fixture_dir / "3test.ogg"), engine="oracle"
+    ).read_all()
+
+    def wedge(self):
+        raise TimeoutError("transfer stream wedged (simulated)")
+
+    monkeypatch.setattr(bulk_mod.BulkDecoder, "run", wedge)
+    r = nv.VorbisReader(str(fixture_dir / "3test.ogg"), engine="jax")
+    with pytest.warns(RuntimeWarning, match="host oracle"):
+        pcm = r.read_all()
+    assert len(pcm) == len(gold)
+    assert np.abs(pcm - gold).max() <= 2e-6
+    r.dispose()
