@@ -22,6 +22,12 @@ def ensure_compile_cache() -> None:
     if _done:
         return
     _done = True
+    # same trigger point (first device-plane use), same spirit (one-time
+    # process-level setup a library user should not have to know about):
+    # recycle host pages instead of re-faulting them (see utils/hostmem.py)
+    from nvorbis_tpu.utils.hostmem import enable_page_recycling
+
+    enable_page_recycling()
     if os.environ.get("NVT_NO_COMPILE_CACHE", "") not in ("", "0"):
         return
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
