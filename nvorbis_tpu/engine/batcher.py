@@ -137,9 +137,9 @@ class JaxPipeline:
         if need_frames is not None and need_frames < self._window:
             window = max(2, need_frames)
             if window <= self._ORACLE_WINDOW:
-                return self._fill_oracle(window)
+                return self._fill_ramp(window)
         if self._window <= self._ORACLE_WINDOW:
-            return self._fill_oracle()
+            return self._fill_ramp()
         if self._native is not None:
             return self._fill_native()
         dec = self._decoder
@@ -187,6 +187,143 @@ class JaxPipeline:
                 r._frame = None
 
         return results
+
+    def _fill_ramp(self, window=None):
+        """Ramp-window fill (seeks, stream starts): host-only synthesis.
+
+        Routes through the C++ unpacker + dense numpy synthesis when the
+        native plane exists — one unpack call for the whole window instead
+        of the ≤32 per-packet Python Huffman walks that dominated seek
+        profiles (~60% of each seek, NOTES round 2) — and falls back to the
+        per-packet oracle fill otherwise.  Outputs are bit-identical to the
+        oracle fill: same f32 coupling, f32 curve multiply, f64 IMDCT
+        matmul, f32 window multiply (synth/oracle.py)."""
+        if self._native is None:
+            return self._fill_oracle(window)
+        return self._fill_native_host(window)
+
+    def _fill_native_host(self, window=None):
+        """C++ unpack -> batched numpy synthesis, no device touch."""
+        from nvorbis_tpu.codec.floor import (
+            INVERSE_DB_TABLE, render_polyline,
+        )
+        from nvorbis_tpu.synth.oracle import imdct_basis
+
+        dec = self._decoder
+        setup = dec._setup
+        if window is None:
+            window = self._window
+            self._window = min(self._max_readahead, window * 4)
+
+        packets, raw = self._pull_packets(window)
+        if not packets:
+            return []
+        residue, ys, used, has_floor, meta = self._native.unpack(
+            raw, n_threads=1
+        )
+        results, buckets = self._results_from_meta(packets, meta, setup)
+
+        for mode_idx, rows in buckets.items():
+            mode = setup.modes[mode_idx]
+            mapping = mode.mapping
+            n = mode.block_size
+            n2 = n // 2
+            idx = np.asarray(rows)
+            res_b = residue[idx][:, :, :n2]  # [b, C, n2] f32
+            b, C = res_b.shape[:2]
+
+            # inverse coupling, batched f32 (codec/frames.py semantics;
+            # do-not-decode channels carry all-zero residue, for which the
+            # transform is the identity, so no execute mask is needed)
+            for i in range(len(mapping.coupling_mag) - 1, -1, -1):
+                mc, ac = mapping.coupling_mag[i], mapping.coupling_ang[i]
+                m = res_b[:, mc]
+                a = res_b[:, ac]
+                m_pos = m > 0
+                a_pos = a > 0
+                new_m = np.where(
+                    m_pos, np.where(a_pos, m, m + a),
+                    np.where(a_pos, m, m - a),
+                )
+                new_a = np.where(
+                    m_pos, np.where(a_pos, m - a, m),
+                    np.where(a_pos, m + a, m),
+                )
+                res_b[:, mc] = new_m
+                res_b[:, ac] = new_a
+
+            # floor curves (zero when the channel has no floor energy —
+            # silence, Mapping.cs:192-196 / Floor1.cs:218-221)
+            curves = np.zeros((b, C, n2), dtype=np.float32)
+            for k, ri in enumerate(rows):
+                for c in range(C):
+                    if not has_floor[ri, c]:
+                        continue
+                    fl = setup.floors[mapping.channel_floor[c]]
+                    p = fl.post_count
+                    yline = render_polyline(
+                        fl.xs_sorted, ys[ri, c, :p], used[ri, c, :p], n2
+                    )
+                    curves[k, c] = INVERSE_DB_TABLE[np.clip(yline, 0, 255)]
+
+            spectrum = (res_b * curves).astype(np.float64)
+            pcm = spectrum.reshape(-1, n2) @ imdct_basis(n)
+            pcm = pcm.astype(np.float32).reshape(b, C, n)
+            wins = np.stack(mode.windows)[meta[idx, 2]]  # [b, n] f32
+            pcm *= wins[:, None, :]
+            for k, ri in enumerate(rows):
+                results[ri].pcm = pcm[k]
+        return results
+
+    def _pull_packets(self, window):
+        """Pull up to ``window`` packets (stopping at EOS/provider end)."""
+        dec = self._decoder
+        packets, raw = [], []
+        while len(packets) < window:
+            packet = dec._packet_provider.get_next_packet()
+            if packet is None:
+                self._provider_done = True
+                break
+            packets.append(packet)
+            raw.append(bytes(packet.data))
+            if packet.is_end_of_stream:
+                break
+        return packets, raw
+
+    def _results_from_meta(self, packets, meta, setup):
+        """Build per-packet result objects from native unpack metadata.
+
+        Same accounting as ``StreamDecoder._unpack_packet_result``: status,
+        mode/window indices, bit counts, granule/EOS/resync flags.  Returns
+        ``(results, buckets)`` with buckets mapping mode_idx -> packet rows.
+        """
+        from nvorbis_tpu.stream_decoder import _PacketResult
+
+        results = []
+        buckets = {}
+        for i, packet in enumerate(packets):
+            res = _PacketResult()
+            res.is_end_of_stream = packet.is_end_of_stream
+            res.is_resync = packet.is_resync
+            res.container_overhead_bits = packet.container_overhead_bits
+            status = int(meta[i, 0])
+            total_bits = int(meta[i, 4])
+            if status != 1:
+                res.bits_remaining = total_bits
+                results.append(res)
+                packet.done()
+                continue
+            mode_idx = int(meta[i, 1])
+            window_index = int(meta[i, 2])
+            mode = setup.modes[mode_idx]
+            res.start, res.valid, res.total = mode.overlaps[window_index]
+            res.granule_pos = packet.granule_position
+            res.bits_read = int(meta[i, 3])
+            res.bits_remaining = total_bits - res.bits_read
+            results.append(res)
+            buckets.setdefault(mode_idx, []).append(i)
+            packet.done()
+        return results, buckets
 
     def _fill_oracle(self, window=None):
         """Small-window fill: per-packet numpy synthesis, no device touch

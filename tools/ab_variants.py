@@ -44,11 +44,17 @@ raws = [raw] * N
 
 from nvorbis_tpu.parallel.batch import BatchDecoder
 
-# each variant: env overrides + optional stream count override
+# each variant: env overrides + optional stream count override.
+# NVT_AB_VARIANTS overrides with a JSON dict of the same shape, e.g.
+# '{"base": {"env": {}}, "whole": {"env": {"NVT_FETCH_CHUNK_BYTES": "0"}}}'
 VARIANTS = {
     "streams8": {"env": {}, "n": 8},
     "streams16": {"env": {}, "n": 16},
 }
+if os.environ.get("NVT_AB_VARIANTS"):
+    import json
+
+    VARIANTS = json.loads(os.environ["NVT_AB_VARIANTS"])
 
 
 def once(n):
