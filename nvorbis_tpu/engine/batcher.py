@@ -72,6 +72,19 @@ class JaxPipeline:
             self._native = NativeUnpacker(decoder._setup, decoder._max_posts)
         except Exception:
             self._native = None
+        # tunnel-relay environments: the streaming read path stays on the
+        # host plane entirely (C++ unpack + batched numpy synthesis).  The
+        # per-window device round-trips that make the in-process device
+        # path fast on direct-attached hardware are exactly what wedges
+        # long-lived relay sessions, and the host plane sustains hundreds
+        # of x realtime (tools/host_ceiling.py).  Bulk decode (read_all /
+        # BatchDecoder) still uses the device, through the respawnable
+        # worker (engine/device_worker.py).
+        from nvorbis_tpu.engine.device_worker import worker_mode_enabled
+
+        self._host_only = (
+            self._native is not None and worker_mode_enabled()
+        )
 
     def reset(self):
         self._queue.clear()
@@ -127,6 +140,9 @@ class JaxPipeline:
     # only pays for itself at batch scale.  Post-seek and stream-open reads
     # hit the 8/32 ramp-up windows, so granule-exact seeks stay cheap.
     _ORACLE_WINDOW = 32
+    # host-only mode (tunnel relay): cap windows so the f64 host IMDCT
+    # bounds per-read latency (~256 frames = well under a second of work)
+    _HOST_WINDOW_CAP = 256
 
     def _fill(self, need_frames=None):
         """Unpack + dispatch one window; returns the result list.
@@ -134,6 +150,14 @@ class JaxPipeline:
         The window follows the 4x ramp, but demand (``need_frames``) caps it
         during ramp-up — and a demand-capped fill does not advance the ramp,
         so scattered small reads stay on the cheap host path."""
+        if self._host_only:
+            cap = self._HOST_WINDOW_CAP
+            if need_frames is not None and need_frames < self._window:
+                return self._fill_native_host(max(2, min(need_frames, cap)))
+            window = min(self._window, cap)
+            if self._window <= cap:
+                self._window = min(self._max_readahead, self._window * 4)
+            return self._fill_native_host(window)
         if need_frames is not None and need_frames < self._window:
             window = max(2, need_frames)
             if window <= self._ORACLE_WINDOW:

@@ -347,6 +347,35 @@ class BulkDecoder:
         # residue symbol mode: ship classes+ids, rebuild spectra on device
         self._sym = getattr(native, "sym_plans", None) is not None
         self._plan_tabs = {}
+        # tunnel-relay environments run device work in a respawnable child
+        # (wedge survival at device speed; engine/device_worker.py)
+        from nvorbis_tpu.engine.device_worker import worker_mode_enabled
+
+        self._use_worker = worker_mode_enabled()
+        self._worker = None
+        self._mode_tbl = {}  # id(mode) -> list of ("t", key, i) refs
+
+    def _worker_refs(self, mode, synth, plan=None):
+        """Register (once) and return this mode's table refs for the
+        worker child: [xs, windows, basis, sl] (+5 residue plan tables)."""
+        refs = self._mode_tbl.get(id(mode))
+        if refs is None:
+            from nvorbis_tpu.engine.device_worker import (
+                get_worker, next_table_key,
+            )
+
+            if self._worker is None:
+                self._worker = get_worker()
+            arrs = [synth._xs, synth._windows, synth._basis, synth._sl]
+            if plan is not None:
+                arrs += [plan.groups_np, plan.div_np.reshape(-1),
+                         plan.vq_base_np.reshape(-1),
+                         plan.dims_np.reshape(-1), plan.vq_mega_np]
+            tkey = next_table_key()
+            self._worker.register_tables(tkey, arrs)
+            refs = [("t", tkey, i) for i in range(len(arrs))]
+            self._mode_tbl[id(mode)] = refs
+        return refs
 
     def _tabs_for(self, plan):
         t = self._plan_tabs.get(id(plan))
@@ -665,6 +694,8 @@ class BulkDecoder:
                     row_of[i] = row_base + j + k
                 j += R
 
+            wrap = ((lambda a: ("a", a)) if self._use_worker
+                    else jnp.asarray)
             if self._sym:
                 N_pad = round_ids(pos)
                 flat = np.full(N_pad, -1, dtype=np.int16)
@@ -673,22 +704,29 @@ class BulkDecoder:
                 cfg_buckets.append(
                     ("s", B_pad, n, synth.coupling_steps, st, N_pad)
                 )
+                if self._use_worker:
+                    tab_refs = self._worker_refs(mode, synth, plan)
+                else:
+                    tab_refs = [synth._xs_dev, synth._windows_dev,
+                                synth._basis_dev, synth._sl_dev,
+                                *self._tabs_for(plan)]
                 args.extend([
-                    jnp.asarray(cls_b), jnp.asarray(flat),
-                    jnp.asarray(base_b),
-                    jnp.asarray(ys_b), jnp.asarray(used_b),
-                    jnp.asarray(hf_b), jnp.asarray(widx_b),
-                    synth._xs_dev, synth._windows_dev, synth._basis_dev,
-                    synth._sl_dev, *self._tabs_for(plan),
+                    wrap(cls_b), wrap(flat), wrap(base_b),
+                    wrap(ys_b), wrap(used_b), wrap(hf_b), wrap(widx_b),
+                    tab_refs[0], tab_refs[1], tab_refs[2], tab_refs[3],
+                    *tab_refs[4:],
                 ])
             else:
                 cfg_buckets.append(("d", B_pad, n, synth.coupling_steps))
+                if self._use_worker:
+                    tab_refs = self._worker_refs(mode, synth)
+                else:
+                    tab_refs = [synth._xs_dev, synth._windows_dev,
+                                synth._basis_dev, synth._sl_dev]
                 args.extend([
-                    jnp.asarray(res_b), jnp.asarray(ys_b),
-                    jnp.asarray(used_b),
-                    jnp.asarray(hf_b), jnp.asarray(widx_b),
-                    synth._xs_dev, synth._windows_dev, synth._basis_dev,
-                    synth._sl_dev,
+                    wrap(res_b), wrap(ys_b), wrap(used_b),
+                    wrap(hf_b), wrap(widx_b),
+                    tab_refs[0], tab_refs[1], tab_refs[2], tab_refs[3],
                 ])
             row_base += B_pad
 
@@ -747,23 +785,41 @@ class BulkDecoder:
         # keep segE sorted for the padded tail
         for k in range(len(clipped), S_pad + 1):
             segE[k] = L_pad + 1 + k
-        args.extend([
-            jnp.asarray(segE), jnp.asarray(prim), jnp.asarray(sec),
-            jnp.asarray(sec_len),
-        ])
+        wrap = (lambda a: ("a", a)) if self._use_worker else jnp.asarray
+        args.extend([wrap(segE), wrap(prim), wrap(sec), wrap(sec_len)])
         from nvorbis_tpu.utils.fetch import int16_transport_enabled
 
         i16 = int16_transport_enabled()
-        fn = _bulk_program((C, L_pad, S_pad, tuple(cfg_buckets), i16))
+        cfg = (C, L_pad, S_pad, tuple(cfg_buckets), i16)
+        # device-side slice to the fetch quantum: per-L_real shapes would
+        # each compile, but L_QUANTUM multiples repeat across chunks
+        L_fetch = min(L_pad, _round_up(L_real, L_QUANTUM))
+
+        if self._use_worker:
+            if self._worker is None:
+                from nvorbis_tpu.engine.device_worker import get_worker
+
+                self._worker = get_worker()
+            seq = self._worker.submit(
+                "bulk", cfg, args, L_fetch, L_fetch * C * (2 if i16 else 4)
+            )
+
+            def finish():
+                host = self._worker.result(seq)
+                if i16:
+                    host = host.astype(np.float32) * np.float32(1.0 / 32767.0)
+                return host[:L_real].reshape(-1)
+
+            finish.device_out = None
+            return finish
+
+        fn = _bulk_program(cfg)
         out = fn(*args)
 
         # async chunked fetch: the device->host copy of this chunk overlaps
         # the host unpack + dispatch of the next one
         from nvorbis_tpu.utils.fetch import fetch_pcm
 
-        # device-side slice to the fetch quantum: per-L_real shapes would
-        # each compile, but L_QUANTUM multiples repeat across chunks
-        L_fetch = min(L_pad, _round_up(L_real, L_QUANTUM))
         out_f = out[:L_fetch] if L_fetch != L_pad else out
 
         def finish():

@@ -181,6 +181,13 @@ class BatchDecoder:
         if mesh is not None:
             self._mesh_key = ("mesh", id(mesh))
             _MESHES[self._mesh_key] = mesh
+        # tunnel-relay environments route device work through a
+        # respawnable child process (wedge survival at device speed; see
+        # engine/device_worker.py); mesh mode keeps in-process execution
+        from nvorbis_tpu.engine.device_worker import worker_mode_enabled
+
+        self._use_worker = worker_mode_enabled(mesh)
+        self._worker = None
 
         self._streams = []
         unpackers = {}  # id(setup) -> NativeUnpacker|None (setups are
@@ -357,13 +364,11 @@ class BatchDecoder:
                 win = np.stack(mode.windows).astype(np.float32)
                 win_tables[n][t, : win.shape[0]] = win
 
-        xs_dev = {n: jnp.asarray(v) for n, v in xs_tables.items()}
-        sl_dev = {
-            n: jnp.asarray(floor1_bin_map(v, n // 2))
-            for n, v in xs_tables.items()
-        }
-        win_dev = {n: jnp.asarray(v) for n, v in win_tables.items()}
-        basis_dev = {n: jnp.asarray(imdct_basis(n, np.float32)) for n in sizes}
+        sl_np = {n: floor1_bin_map(v, n // 2) for n, v in xs_tables.items()}
+        basis_np = {n: imdct_basis(n, np.float32) for n in sizes}
+        # _dispatch needs the window-table geometry even when the tables
+        # themselves live in the worker child (placeholder refs)
+        self._win_shapes = {n: v.shape for n, v in win_tables.items()}
 
         # residue symbol mode (group-uniform via the group key); buckets are
         # keyed by block size, so it requires one residue plan per size
@@ -373,7 +378,7 @@ class BatchDecoder:
 
         sym_plans = getattr(members[0].native, "sym_plans", None)
         self._sym = sym_plans is not None
-        self._sym_info = {}
+        sym_plan_of = {}
         if self._sym:
             for n in sizes:
                 plans_for_n = {
@@ -386,14 +391,61 @@ class BatchDecoder:
             if self._sym:
                 for m in setup0.modes:
                     n = m.block_size
-                    if n in self._sym_info:
-                        continue
-                    plan = sym_plans[
-                        id(setup0.residues[m.mapping.submap_residue[0]])
-                    ]
-                    self._sym_info[n] = (
-                        plan_static(plan, n), plan_tables_dev(plan)
-                    )
+                    if n not in sym_plan_of:
+                        sym_plan_of[n] = sym_plans[
+                            id(setup0.residues[m.mapping.submap_residue[0]])
+                        ]
+
+        self._sym_info = {}
+        if self._use_worker:
+            # device-resident constants live in the worker child: register
+            # once per group; args reference them as ("t", key, index)
+            from nvorbis_tpu.engine.device_worker import (
+                get_worker, next_table_key,
+            )
+
+            self._worker = get_worker()
+            tkey = next_table_key()
+            self._tkey = tkey
+            tbl = []
+            ref = {}
+
+            def _reg(k, arr):
+                ref[k] = ("t", tkey, len(tbl))
+                tbl.append(np.asarray(arr))
+
+            for n in sizes:
+                _reg((n, "xs"), xs_tables[n])
+                _reg((n, "win"), win_tables[n])
+                _reg((n, "basis"), basis_np[n])
+                _reg((n, "sl"), sl_np[n])
+                if self._sym:
+                    p = sym_plan_of[n]
+                    for i, arr in enumerate((
+                        p.groups_np, p.div_np.reshape(-1),
+                        p.vq_base_np.reshape(-1), p.dims_np.reshape(-1),
+                        p.vq_mega_np,
+                    )):
+                        _reg((n, "tab", i), arr)
+            self._worker.register_tables(tkey, tbl)
+            xs_dev = {n: ref[(n, "xs")] for n in sizes}
+            win_dev = {n: ref[(n, "win")] for n in sizes}
+            basis_dev = {n: ref[(n, "basis")] for n in sizes}
+            sl_dev = {n: ref[(n, "sl")] for n in sizes}
+            for n, p in sym_plan_of.items():
+                self._sym_info[n] = (
+                    plan_static(p, n),
+                    tuple(ref[(n, "tab", i)] for i in range(5)),
+                )
+            self._wrap = lambda a: ("a", np.asarray(a))
+        else:
+            xs_dev = {n: jnp.asarray(v) for n, v in xs_tables.items()}
+            sl_dev = {n: jnp.asarray(v) for n, v in sl_np.items()}
+            win_dev = {n: jnp.asarray(v) for n, v in win_tables.items()}
+            basis_dev = {n: jnp.asarray(v) for n, v in basis_np.items()}
+            for n, p in sym_plan_of.items():
+                self._sym_info[n] = (plan_static(p, n), plan_tables_dev(p))
+            self._wrap = jnp.asarray
 
         self._stream_slot = {id(st): i for i, st in enumerate(members)}
         active = list(members)
@@ -456,6 +508,11 @@ class BatchDecoder:
                                   if active else None)
                 _run(finish)
                 chunk = next_chunk
+
+        if self._worker is not None:
+            # all chunks resolved (pending drained above): release this
+            # group's device-resident tables in the worker
+            self._worker.drop_tables(self._tkey)
 
         for st in members:
             dec = st.decoder
@@ -720,8 +777,7 @@ class BatchDecoder:
                     global_row[(id(st), id(plan))] = row_base + j + k
                 j += R
 
-            W = win_dev[n].shape[1]
-            T = win_dev[n].shape[0]
+            T, W = self._win_shapes[n][:2]
             cpl = tuple(zip(
                 setup0.modes[0].mapping.coupling_mag,
                 setup0.modes[0].mapping.coupling_ang,
@@ -740,21 +796,18 @@ class BatchDecoder:
                     flat[:pos] = np.concatenate(id_parts).astype(np.int16)
                 cfg_buckets.append(("s", B_pad, n, P, W, T, cpl, st_geom,
                                     N_pad))
+                W_ = self._wrap
                 args.extend([
-                    jnp.asarray(cls_b), jnp.asarray(flat),
-                    jnp.asarray(base_b),
-                    jnp.asarray(ys_b), jnp.asarray(used_b),
-                    jnp.asarray(hf_b), jnp.asarray(widx_b),
-                    jnp.asarray(tid_b),
+                    W_(cls_b), W_(flat), W_(base_b),
+                    W_(ys_b), W_(used_b), W_(hf_b), W_(widx_b), W_(tid_b),
                     xs_dev[n], win_dev[n], basis_dev[n], sl_dev[n], *tabs,
                 ])
             else:
                 cfg_buckets.append(("d", B_pad, n, P, W, T, cpl))
+                W_ = self._wrap
                 args.extend([
-                    jnp.asarray(res_b), jnp.asarray(ys_b),
-                    jnp.asarray(used_b),
-                    jnp.asarray(hf_b), jnp.asarray(widx_b),
-                    jnp.asarray(tid_b),
+                    W_(res_b), W_(ys_b), W_(used_b),
+                    W_(hf_b), W_(widx_b), W_(tid_b),
                     xs_dev[n], win_dev[n], basis_dev[n], sl_dev[n],
                 ])
             row_base += B_pad
@@ -856,29 +909,46 @@ class BatchDecoder:
             sec_len[k2] = sl
         for k2 in range(len(segs), S_pad + 1):
             segE[k2] = L_pad + 1 + k2
-        args.extend([
-            jnp.asarray(segE), jnp.asarray(prim), jnp.asarray(sec),
-            jnp.asarray(sec_len),
-        ])
+        W_ = self._wrap
+        args.extend([W_(segE), W_(prim), W_(sec), W_(sec_len)])
 
         i16 = int16_transport_enabled()
-        fn = _batch_program(
-            (C, L_pad, S_pad, tuple(cfg_buckets), self.clip_samples, i16),
-            self._mesh_key,
-        )
-        out = fn(*args)
+        cfg = (C, L_pad, S_pad, tuple(cfg_buckets), self.clip_samples, i16)
         L_fetch = min(L_pad, _round_up(L_real, L_QUANTUM))
-        out_f = out[:L_fetch] if L_fetch != L_pad else out
 
-        def finish():
-            host = fetch_pcm(out_f, quantized=i16)
-            from nvorbis_tpu.utils.profiling import span
+        if self._worker is not None:
+            # device work runs in the respawnable worker child; the result
+            # arrives as numpy over the pipe, already fetched (and still
+            # int16 over the wire when quantized — dequantize here, same
+            # math as fetch_pcm's quantized branch)
+            result_bytes = L_fetch * C * (2 if i16 else 4)
+            seq = self._worker.submit("batch", cfg, args, L_fetch,
+                                      result_bytes)
 
-            with span("batch.emit"):
-                _emit(host)
+            def finish():
+                host = self._worker.result(seq)
+                if i16:
+                    host = host.astype(np.float32) * np.float32(1.0 / 32767.0)
+                from nvorbis_tpu.utils.profiling import span
 
-        finish.device_out = out_f  # lets decode_all block on compute
-        # separately from the transfer (ready/xfer pipelining)
+                with span("batch.emit"):
+                    _emit(host)
+
+            finish.device_out = None
+        else:
+            fn = _batch_program(cfg, self._mesh_key)
+            out = fn(*args)
+            out_f = out[:L_fetch] if L_fetch != L_pad else out
+
+            def finish():
+                host = fetch_pcm(out_f, quantized=i16)
+                from nvorbis_tpu.utils.profiling import span
+
+                with span("batch.emit"):
+                    _emit(host)
+
+            finish.device_out = out_f  # lets decode_all block on compute
+            # separately from the transfer (ready/xfer pipelining)
 
         def _emit(host):
             import ctypes

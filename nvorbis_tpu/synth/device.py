@@ -336,11 +336,34 @@ class DeviceSynth:
         self._sl = floor1_bin_map(xs, self.n2)  # [C, n2]
         self._windows = np.stack(mode.windows).astype(np.float32)  # [W, n]
         self._basis = imdct_basis(self.n, np.float32)  # [n2, n]
-        # device-resident constants, transferred once per stream
-        self._xs_dev = jnp.asarray(self._xs)
-        self._sl_dev = jnp.asarray(self._sl)
-        self._windows_dev = jnp.asarray(self._windows)
-        self._basis_dev = jnp.asarray(self._basis)
+        self._dev_tabs = None
+
+    def _ensure_dev(self):
+        # device-resident constants, transferred once per stream; LAZY so
+        # a worker-mode parent (engine/device_worker.py ships the numpy
+        # tables to its child instead) never touches the jax backend here
+        if self._dev_tabs is None:
+            self._dev_tabs = (
+                jnp.asarray(self._xs), jnp.asarray(self._sl),
+                jnp.asarray(self._windows), jnp.asarray(self._basis),
+            )
+        return self._dev_tabs
+
+    @property
+    def _xs_dev(self):
+        return self._ensure_dev()[0]
+
+    @property
+    def _sl_dev(self):
+        return self._ensure_dev()[1]
+
+    @property
+    def _windows_dev(self):
+        return self._ensure_dev()[2]
+
+    @property
+    def _basis_dev(self):
+        return self._ensure_dev()[3]
 
     # -- program ------------------------------------------------------------
 

@@ -33,6 +33,24 @@ def tpu_link_alive(timeout: float = 3.0) -> bool:
         s.close()
 
 
+def relay_configured() -> bool:
+    """True when this process's jax would use the tunnel-relay TPU plugin
+    and the relay answers — the environment whose transfer sessions can
+    wedge (see engine/device_worker.py).  False when the plugin is absent
+    or jax is pinned to another platform."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False
+    jax = sys.modules.get("jax")
+    if jax is not None:
+        try:
+            platforms = jax.config.jax_platforms
+        except AttributeError:
+            platforms = None
+        if platforms and "axon" not in platforms:
+            return False
+    return tpu_link_alive()
+
+
 def jax_backend_safe() -> bool:
     """True when touching the jax backend cannot hang on a dead TPU link.
 
