@@ -32,12 +32,26 @@ import jax.numpy as jnp
 
 from nvorbis_tpu.synth.device import DeviceSynth, synth_core
 
-CHUNK_FRAMES = int(os.environ.get("NVT_CHUNK_FRAMES", "8192"))
+def _env_pow2(name: str, default: int) -> int:
+    """Env-tunable size rounded DOWN to a power of two (the padded bucket
+    shapes — and therefore the compiled-program cache — only repeat across
+    chunks for power-of-two caps); malformed values fall back to the
+    default instead of raising at import."""
+    v = os.environ.get(name, "")
+    try:
+        n = int(v) if v else default
+    except ValueError:
+        return default
+    if n < 1:
+        return default
+    return 1 << (n.bit_length() - 1)
+
+
+CHUNK_FRAMES = _env_pow2("NVT_CHUNK_FRAMES", 8192)
 # per-block-size collection cap: full chunks then hold exactly this many
-# frames of the dominant size (a power of two), so their padded bucket
-# shapes — and therefore the compiled program — repeat across chunks
-CAP_PER_SIZE = int(os.environ.get("NVT_CAP_PER_SIZE",
-                                  str(max(1, CHUNK_FRAMES // 2))))
+# frames of the dominant size, so their padded bucket shapes — and
+# therefore the compiled program — repeat across chunks
+CAP_PER_SIZE = _env_pow2("NVT_CAP_PER_SIZE", max(1, CHUNK_FRAMES // 2))
 L_QUANTUM = 65536
 
 
@@ -410,8 +424,10 @@ class BulkDecoder:
         planner = StreamPlanner(dec._current_position)
         out_chunks = []
         # one fetch worker: device->host transfers overlap the next chunk's
-        # host unpack + upload (see parallel/batch.py for the same pattern);
-        # disabled through a tunnel relay (utils.fetch.overlap_fetches)
+        # host unpack + upload (see parallel/batch.py for the same pattern;
+        # on by default — measured faster even through the tunnel relay —
+        # NVT_FETCH_OVERLAP=0 serializes for relays where a concurrent
+        # upload stalls fetches, utils.fetch.overlap_fetches)
         from nvorbis_tpu.utils.fetch import (
             block_ready, overlap_fetches, ready_on_main,
         )
@@ -805,9 +821,11 @@ class BulkDecoder:
             )
 
             def finish():
+                from nvorbis_tpu.utils.fetch import dequantize_i16
+
                 host = self._worker.result(seq)
                 if i16:
-                    host = host.astype(np.float32) * np.float32(1.0 / 32767.0)
+                    host = dequantize_i16(host)
                 return host[:L_real].reshape(-1)
 
             finish.device_out = None

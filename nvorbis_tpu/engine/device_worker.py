@@ -84,9 +84,13 @@ def _chunk_timeout(nbytes: int, first: bool) -> float:
         return float("inf")
     t = base + nbytes / (512 * 1024)
     if first:
-        # cold-process XLA compile through the remote relay (~90 s cold,
-        # ~13 s with the persistent cache); NVT_WORKER_COLD_EXTRA for tests
-        t += float(os.environ.get("NVT_WORKER_COLD_EXTRA", "") or 180.0)
+        # a fresh child may COLD-compile every chunk program through the
+        # remote-compile relay before its first result (~90 s in a good
+        # phase, several x that in a bad one — a too-small allowance
+        # respawn-loops forever, each child cold again); the persistent
+        # compile cache makes later children fast.  NVT_WORKER_COLD_EXTRA
+        # overrides (tests use small values with pre-warmed caches).
+        t += float(os.environ.get("NVT_WORKER_COLD_EXTRA", "") or 420.0)
     return t
 
 
@@ -156,6 +160,14 @@ def _child_main(conn, spool):
     jnp = None
     n_chunks = 0
     wedge_after = int(os.environ.get("NVT_TEST_WEDGE_AFTER", "0") or 0)
+    debug = os.environ.get("NVT_WORKER_DEBUG", "") not in ("", "0")
+
+    def _dbg(text):
+        if debug:
+            import sys
+
+            print(f"[dw-child {time.time() % 100000:.1f}] {text}",
+                  file=sys.stderr, flush=True)
 
     def _ensure_jax():
         nonlocal jnp
@@ -178,12 +190,14 @@ def _child_main(conn, spool):
             return
         if tag == "tables":
             _, key, metas = msg
+            _dbg(f"tables {key}: {len(metas)} arrays")
             try:
                 _ensure_jax()
                 path = os.path.join(spool, f"tbl-{key}.bin")
                 tables[key] = [
                     jnp.asarray(_read_array(path, *m)) for m in metas
                 ]
+                _dbg(f"tables {key} resident")
             except Exception:
                 conn.send(("err", -1, traceback.format_exc()))
             continue
@@ -192,6 +206,7 @@ def _child_main(conn, spool):
             continue
         # ("chunk", seq, kind, cfg, spec, l_fetch)
         _, seq, kind, cfg, spec, l_fetch = msg
+        _dbg(f"chunk {seq} ({kind}) recv")
         try:
             _ensure_jax()
             if kind == "batch":
@@ -208,6 +223,7 @@ def _child_main(conn, spool):
                 else jnp.asarray(_read_array(arg_path, e[1], e[2], e[3]))
                 for e in spec
             ]
+            _dbg(f"chunk {seq} args staged; dispatching")
             out = fn(*args)
             if l_fetch is not None and l_fetch != out.shape[0]:
                 out = out[:l_fetch]
@@ -218,10 +234,12 @@ def _child_main(conn, spool):
                 time.sleep(3600)
             from nvorbis_tpu.utils.fetch import fetch_np
 
+            _dbg(f"chunk {seq} dispatched; fetching {out.nbytes >> 20} MB")
             host = np.asarray(fetch_np(out))
             res_path = os.path.join(spool, f"res-{seq % RING}.bin")
             _write_arrays(res_path, [host])
             conn.send(("ok", seq, host.dtype.str, host.shape))
+            _dbg(f"chunk {seq} done")
         except Exception:
             try:
                 conn.send(("err", seq, traceback.format_exc()))

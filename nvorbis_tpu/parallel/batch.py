@@ -926,9 +926,11 @@ class BatchDecoder:
                                       result_bytes)
 
             def finish():
+                from nvorbis_tpu.utils.fetch import dequantize_i16
+
                 host = self._worker.result(seq)
                 if i16:
-                    host = host.astype(np.float32) * np.float32(1.0 / 32767.0)
+                    host = dequantize_i16(host)
                 from nvorbis_tpu.utils.profiling import span
 
                 with span("batch.emit"):

@@ -197,6 +197,20 @@ def fetch_np(arr) -> np.ndarray:
         return np.concatenate(parts, axis=0)
 
 
+def dequantize_i16(host: np.ndarray) -> np.ndarray:
+    """int16 wire samples -> float32 in [-CLIP_LIMIT, CLIP_LIMIT].
+
+    +/-32767 would dequantize to exactly +/-1.0 — just past the library's
+    documented +/-0.99999994 output bound, and enough to spuriously set
+    ``has_clipped`` downstream — so clamp; the 6e-8 excess is far inside
+    the ~3e-5 lossy-transport budget."""
+    from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
+
+    out = host.astype(np.float32) * np.float32(1.0 / 32767.0)
+    np.clip(out, -CLIP_LIMIT, CLIP_LIMIT, out=out)
+    return out
+
+
 def fetch_pcm(arr, quantized: bool = False) -> np.ndarray:
     """Fetch device PCM to host; int16 over the wire when opted in via
     ``NVT_FETCH_INT16=1`` (see :func:`int16_transport_enabled`).
@@ -204,12 +218,10 @@ def fetch_pcm(arr, quantized: bool = False) -> np.ndarray:
     ``quantized=True``: the chunk program already emitted int16 in its
     epilogue (fused quantization) — just fetch and dequantize."""
     if quantized:
-        host = fetch_np(arr)
-        return host.astype(np.float32) * np.float32(1.0 / 32767.0)
+        return dequantize_i16(fetch_np(arr))
     if not int16_transport_enabled():
         return fetch_np(arr)
     import jax.numpy as jnp
 
     q = jnp.round(jnp.clip(arr, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-    host = fetch_np(q)
-    return host.astype(np.float32) * np.float32(1.0 / 32767.0)
+    return dequantize_i16(fetch_np(q))

@@ -109,17 +109,22 @@ def test_fetch_watchdog_passthrough_and_retry(monkeypatch):
     assert fetch._with_watchdog(flaky, nbytes=0) == "recovered"
     assert calls["n"] == 2
 
-    with pytest.raises(TimeoutError, match="wedged"):
-        fetch._with_watchdog(lambda: time.sleep(5), nbytes=0)
+    # the poisoned section un-poisons in a finally: an assertion failure
+    # in between must not cascade "already wedged" into every later
+    # fetch-touching test in this process
+    try:
+        with pytest.raises(TimeoutError, match="wedged"):
+            fetch._with_watchdog(lambda: time.sleep(5), nbytes=0)
 
-    # double expiry poisons the process: later fetches fail fast instead
-    # of eating the full double timeout each
-    assert fetch.link_wedged()
-    with pytest.raises(TimeoutError, match="already wedged"):
-        fetch._with_watchdog(lambda: 1, nbytes=0)
-    # un-poison directly: monkeypatch.setattr would RESTORE the poisoned
-    # True at teardown and break every later device-touching test
-    fetch._wedged = False
+        # double expiry poisons the process: later fetches fail fast
+        # instead of eating the full double timeout each
+        assert fetch.link_wedged()
+        with pytest.raises(TimeoutError, match="already wedged"):
+            fetch._with_watchdog(lambda: 1, nbytes=0)
+    finally:
+        # un-poison directly: monkeypatch.setattr would RESTORE the
+        # poisoned True at teardown and break later device-touching tests
+        fetch._wedged = False
 
     monkeypatch.setenv("NVT_FETCH_TIMEOUT", "0")  # disabled: direct call
     assert fetch._with_watchdog(lambda: "direct", nbytes=1 << 40) == "direct"
