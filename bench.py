@@ -1,15 +1,22 @@
-"""Benchmark harness: the five BASELINE configs + the headline metric.
+"""Benchmark harness: the BASELINE configs + the headline metric.
 
 stdout carries exactly ONE JSON line — the headline metric
 (``decode_throughput_stereo_44k1_longform_batch``, x-realtime per chip vs
-the 500x north-star target).  Each BASELINE config additionally emits one
-JSON line on stderr (the driver's tail captures both streams):
+the 500x north-star target).  Each config additionally emits one JSON line
+on stderr (the driver's tail captures both streams):
 
-  1. decode_1test_wav          — 1test.ogg decode-to-WAV latency config
-  2. longform_batch (headline) — N long-form stereo 44.1 kHz streams
-  3. chained_seek              — granule-exact seeks/sec on a chained file
-  4. surround51_48k_residue2   — 5.1 @ 48 kHz coupled Residue2 synthetic
-  5. batch64                   — 64-stream co-batched aggregate throughput
+  1. decode_1test_wav           — 1test.ogg decode-to-WAV latency config
+  2. longform_batch (headline)  — N long-form stereo 44.1 kHz streams
+  3. chained_seek               — granule-exact seeks/sec on a chained file
+  4. surround51_48k[_int16]     — 5.1 @ 48 kHz coupled Residue2 synthetic
+  5. longform_batch_int16       — headline workload, 16-bit PCM transport
+  6. batch64 / batch64_mixed    — 64-stream co-batched aggregate throughput
+                                  (homogeneous / 4 distinct setups)
+  7. host_ceiling               — device-stubbed host-plane throughput
+                                  (tools/host_ceiling.py; relay-independent)
+
+Every config has reduced-size fallback tiers so a slow relay phase yields
+a smaller measured value instead of a killed child with no value.
 
 Env knobs: NVT_BENCH_STREAMS (headline batch width, default 8),
 NVT_BENCH_REPS (timed reps, default 3 — the tunnel relay rate is noisy,
@@ -23,6 +30,7 @@ import faulthandler
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 
@@ -32,25 +40,30 @@ faulthandler.register(signal.SIGUSR1, file=sys.stderr)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
 SRC_FIXTURE = "/root/reference/TestFiles/3test.ogg"
+SRC_ISSUE6 = "/root/reference/TestFiles/issue6test.ogg"
 SRC_1TEST = "/root/reference/TestFiles/1test.ogg"
-CACHE_DIR = "/root/repo/.benchcache"
+CACHE_DIR = os.path.join(_REPO, ".benchcache")
 REPEATS = int(os.environ.get("NVT_BENCH_REPEATS", "64"))
 # 64 repeats ~= 7 minutes of stereo 44.1 kHz audio per stream; the
-# orchestrator drops this to 16 for the guaranteed-to-finish fallback
-# attempt when a full headline run can't complete in a slow relay phase
+# orchestrator drops this for the guaranteed-to-finish fallback attempts
+# when a full run can't complete in a slow relay phase
 TARGET_X_REALTIME = 500.0
 
 N_STREAMS = int(os.environ.get("NVT_BENCH_STREAMS", "8"))
 REPS = int(os.environ.get("NVT_BENCH_REPS", "3"))
 BUDGET = float(os.environ.get("NVT_BENCH_BUDGET", "1500"))
+B64_REPEATS = int(os.environ.get("NVT_BENCH_B64_REPEATS", "8"))
+S51_PACKETS = int(os.environ.get("NVT_BENCH_51_PACKETS", "4096"))
 # headline first (it is the recorded metric), then the cheap configs, then
 # the expensive variants — so a slow relay phase exhausting the budget
 # drops the big ones, not the coverage
 CONFIGS = [c for c in os.environ.get(
     "NVT_BENCH_CONFIGS",
-    "longform_batch,decode_1test_wav,chained_seek,surround51_48k,"
-    "longform_batch_int16,batch64",
+    "longform_batch,host_ceiling,decode_1test_wav,chained_seek,"
+    "surround51_48k,surround51_48k_int16,longform_batch_int16,"
+    "batch64,batch64_mixed",
 ).split(",") if c]
 
 _T0 = time.perf_counter()
@@ -69,7 +82,8 @@ def _enable_compile_cache():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_REPO, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
@@ -98,13 +112,13 @@ def _probe_link():
         _emit({"metric": "link_d2h_MBps", "error": str(e)[:200]})
 
 
-def _long_fixture(repeats=REPEATS):
+def _long_fixture(repeats=REPEATS, src=SRC_FIXTURE, tag="long3"):
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"long3_x{repeats}.ogg")
+    path = os.path.join(CACHE_DIR, f"{tag}_x{repeats}.ogg")
     if not os.path.exists(path):
         from nvorbis_tpu.testgen.ogg_writer import make_long_stream
 
-        make_long_stream(SRC_FIXTURE, repeats, path)
+        make_long_stream(src, repeats, path)
     return path
 
 
@@ -212,6 +226,9 @@ def cfg_chained_seek():
     r.sample_position = int(targets[0])
     assert r.sample_position == int(targets[0])
 
+    for tgt in targets[:8]:  # warm (page provisioning, ramp caches)
+        r.sample_position = int(tgt)
+        r.read_samples(buffer=buf)
     n_seeks = 0
     t0 = time.perf_counter()
     for tgt in targets:
@@ -227,7 +244,7 @@ def cfg_chained_seek():
     }
 
 
-def cfg_surround51_48k():
+def _surround51_raws():
     import numpy as np
 
     from nvorbis_tpu.testgen.vorbis_writer import make_simple_spec
@@ -236,8 +253,12 @@ def cfg_surround51_48k():
         channels=6, sample_rate=48000, residue_type=2,
         couplings=[(0, 1), (2, 3), (4, 5)],
     )
-    blob = spec.build_stream(np.random.default_rng(1), 4096)
-    raws = [blob] * 4
+    blob = spec.build_stream(np.random.default_rng(1), S51_PACKETS)
+    return [blob] * 4
+
+
+def cfg_surround51_48k():
+    raws = _surround51_raws()
     decode_batch(raws)  # warm
     return {
         "metric": "decode_throughput_51_48k_residue2",
@@ -247,8 +268,26 @@ def cfg_surround51_48k():
     }
 
 
+def cfg_surround51_48k_int16():
+    """5.1 with 16-bit transport: 6-channel f32 is 3.3x stereo's
+    bytes/audio-sec, the config most in need of halved link bytes."""
+    raws = _surround51_raws()
+    os.environ["NVT_FETCH_INT16"] = "1"
+    try:
+        decode_batch(raws)  # warm
+        value = round(_timed_best(lambda: decode_batch(raws), reps=1), 3)
+    finally:
+        os.environ.pop("NVT_FETCH_INT16", None)
+    return {
+        "metric": "decode_throughput_51_48k_residue2_int16",
+        "value": value,
+        "unit": "x_realtime_per_chip",
+        "streams": 4,
+    }
+
+
 def cfg_batch64():
-    raw = open(_long_fixture(repeats=8), "rb").read()
+    raw = open(_long_fixture(repeats=B64_REPEATS), "rb").read()
     raws = [raw] * 64
     decode_batch(raws)  # warm
     return {
@@ -259,43 +298,133 @@ def cfg_batch64():
     }
 
 
+def cfg_batch64_mixed():
+    """64 streams over 4 DISTINCT setups (the homogeneous batch64 decodes
+    64 copies of one file, which co-batches into a single symbol-mode
+    group; distinct codebooks fragment into separate groups with less
+    amortization — this measures that regime).  Fleet: 16 streams each of
+    the 3test long-form, the issue6test long-form, and two synthetic
+    stereo 44.1 kHz specs with different residue topologies/codebooks."""
+    import numpy as np
+
+    from nvorbis_tpu.parallel.batch import BatchDecoder
+    from nvorbis_tpu.testgen.vorbis_writer import make_simple_spec
+
+    n_pk = B64_REPEATS * 225  # ~match the long fixture's packet count
+    raws = []
+    raws += [open(_long_fixture(repeats=B64_REPEATS), "rb").read()] * 16
+    raws += [open(_long_fixture(repeats=B64_REPEATS, src=SRC_ISSUE6,
+                                tag="long6"), "rb").read()] * 16
+    spec_a = make_simple_spec(channels=2, sample_rate=44100, residue_type=2)
+    raws += [spec_a.build_stream(np.random.default_rng(2), n_pk)] * 16
+    spec_b = make_simple_spec(channels=2, sample_rate=44100, residue_type=1,
+                              n_stages=1, couplings=[])
+    raws += [spec_b.build_stream(np.random.default_rng(3), n_pk)] * 16
+
+    bd = BatchDecoder(raws)
+    groups = {bd._group_key(st.decoder._setup, st.native)
+              for st in bd._streams if st.native is not None}
+    n_groups = len(groups)
+
+    def once():
+        d = BatchDecoder(raws)
+        outs = d.decode_all()
+        total = 0.0
+        for st, o in zip(d._streams, outs):
+            total += len(o) / st.decoder.channels / st.decoder.sample_rate
+        return total
+
+    once()  # warm
+    return {
+        "metric": "decode_throughput_64stream_batch_mixed",
+        "value": round(_timed_best(once, reps=1), 3),
+        "unit": "x_realtime_per_chip",
+        "streams": 64,
+        "distinct_setups": 4,
+        "groups": n_groups,
+    }
+
+
+def cfg_host_ceiling():
+    """Device-stubbed host-plane throughput (tools/host_ceiling.py in a
+    child so the stub's monkeypatching cannot leak here).  Relay-
+    independent: runs on the CPU platform, records the bound that binds on
+    a direct-attached device."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("NVT_BENCH_CHILD", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "host_ceiling.py"),
+         "8", "32", "2"],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    value = None
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("host_ceiling_x:"):
+            value = float(ln.split(":", 1)[1])
+    if value is None:
+        tail = (proc.stderr or "").strip().splitlines()
+        raise RuntimeError(
+            f"host_ceiling child rc={proc.returncode}: "
+            + (tail[-1] if tail else "no output")
+        )
+    return {
+        "metric": "host_ceiling",
+        "value": round(value, 1),
+        "unit": "x_realtime_host_plane",
+        "streams": 8,
+    }
+
+
 _CFG_FNS = {
     "longform_batch": cfg_longform_batch,
     "longform_batch_int16": cfg_longform_batch_int16,
     "decode_1test_wav": cfg_decode_1test_wav,
     "chained_seek": cfg_chained_seek,
     "surround51_48k": cfg_surround51_48k,
+    "surround51_48k_int16": cfg_surround51_48k_int16,
     "batch64": cfg_batch64,
+    "batch64_mixed": cfg_batch64_mixed,
+    "host_ceiling": cfg_host_ceiling,
 }
+
+# configs that never touch the relay: run even when it is down/dead-slow
+_RELAY_FREE = {"host_ceiling"}
+
+# required remaining budget before *starting* a config (expensive ones can
+# overrun an external timeout by minutes in a slow relay phase).  Cheap
+# configs (host-oracle decode, a second of seeks, the relay-free ceiling)
+# always run, even after a slow phase ate the budget.
+MIN_LEFT = {"batch64": 500.0, "batch64_mixed": 500.0,
+            "longform_batch_int16": 300.0,
+            "surround51_48k": 200.0, "surround51_48k_int16": 150.0,
+            "decode_1test_wav": float("-inf"),
+            "chained_seek": float("-inf"),
+            "host_ceiling": float("-inf")}
+
+HEADLINE = "longform_batch"
+_HEADLINE_METRIC = "decode_throughput_stereo_44k1_longform_batch"
 
 
 def main():
     headline = {
-        "metric": "decode_throughput_stereo_44k1_longform_batch",
+        "metric": _HEADLINE_METRIC,
         "value": 0.0,
         "unit": "x_realtime_per_chip",
         "vs_baseline": 0.0,
     }
-    if not _tpu_link_alive():
+    relay_up = _tpu_link_alive()
+    if not relay_up and not (set(CONFIGS) & _RELAY_FREE):
         print("TPU tunnel relay is down (connection refused on :8082); "
               "jax init would hang — aborting bench.", file=sys.stderr)
         _emit(headline, final=True)
         return
-    _enable_compile_cache()
-    if not os.environ.get("NVT_BENCH_SKIP_PROBE"):
-        _probe_link()
+    if relay_up:
+        _enable_compile_cache()
+        if not os.environ.get("NVT_BENCH_SKIP_PROBE"):
+            _probe_link()
     if os.environ.get("NVT_BENCH_PROBE_ONLY"):
         return  # phase-probe child: the link line above is the output
-
-    # a config started near the budget edge can overrun an external
-    # timeout by many minutes in a slow relay phase; require enough
-    # headroom for the expensive ones before starting them
-    MIN_LEFT = {"batch64": 600.0, "longform_batch_int16": 400.0,
-                "surround51_48k": 200.0,
-                # cheap configs (host-oracle decode, a second of seeks)
-                # always run, even after a slow phase ate the budget
-                "decode_1test_wav": float("-inf"),
-                "chained_seek": float("-inf")}
 
     headline_emitted = False
     for name in CONFIGS:
@@ -303,7 +432,10 @@ def main():
         if fn is None:
             print(f"unknown bench config {name!r}", file=sys.stderr)
             continue
-        if name != "longform_batch" and _budget_left() < MIN_LEFT.get(name, 0.0):
+        if not relay_up and name not in _RELAY_FREE:
+            _emit({"metric": name, "skipped": "relay down"})
+            continue
+        if name != HEADLINE and _budget_left() < MIN_LEFT.get(name, 0.0):
             _emit({"metric": name, "skipped": "budget exhausted"})
             continue
         try:
@@ -322,8 +454,49 @@ def main():
             _emit(line, final=True)
             headline_emitted = True
 
-    if not headline_emitted:
+    if not headline_emitted and (HEADLINE in CONFIGS or not CONFIGS):
         _emit(headline, final=True)
+
+
+def _plans_for(name, link_rate):
+    """Attempt plan per config: [(extra_env, child_limit_s), ...].
+
+    Attempt 0 is the full config; later tiers shrink the workload so SOME
+    value gets measured in any relay phase — a short run's number beats a
+    killed child's 0.0.  The upfront phase probe (``link_rate`` MB/s) picks
+    the starting tier so a dead phase doesn't burn minutes on a doomed
+    full-size attempt."""
+    if name == HEADLINE:
+        plans = [({}, 1500.0),
+                 ({"NVT_BENCH_REPEATS": "16", "NVT_BENCH_REPS": "1"}, 700.0),
+                 ({"NVT_BENCH_REPEATS": "4", "NVT_BENCH_REPS": "1",
+                   "NVT_BENCH_STREAMS": "2"}, 500.0)]
+    elif name == "longform_batch_int16":
+        plans = [({}, 900.0),
+                 ({"NVT_BENCH_REPEATS": "16", "NVT_BENCH_REPS": "1"}, 500.0),
+                 ({"NVT_BENCH_REPEATS": "4", "NVT_BENCH_REPS": "1",
+                   "NVT_BENCH_STREAMS": "2"}, 400.0)]
+    elif name in ("batch64", "batch64_mixed"):
+        plans = [({}, 900.0),
+                 ({"NVT_BENCH_B64_REPEATS": "2"}, 600.0),
+                 ({"NVT_BENCH_B64_REPEATS": "1"}, 450.0)]
+    elif name in ("surround51_48k", "surround51_48k_int16"):
+        plans = [({}, 700.0),
+                 ({"NVT_BENCH_51_PACKETS": "1024"}, 450.0)]
+    else:
+        # cheap / relay-free configs: one attempt with a generous floor
+        # (even "cheap" configs pay compile + relay latency in a slow
+        # phase — a 300 s limit once killed a seek child)
+        return [({}, 600.0)]
+    if link_rate is not None:
+        # full-size headline moves ~4.8 GB over warm+3 reps: it needs a
+        # sustained ~10+ MB/s *with headroom for phase drift* to fit its
+        # limit (a 9.6 MB/s probe phase was observed dying at 1500 s)
+        if link_rate < 1.0:
+            plans = plans[-1:]
+        elif link_rate < 15.0 and len(plans) > 1:
+            plans = plans[1:]
+    return plans
 
 
 def parent_main():
@@ -333,141 +506,127 @@ def parent_main():
     stream (observed repeatedly: sessions moving GBs wedge after
     ~10-20 min while FRESH processes run at full rate), so each config
     runs in its own child process: a wedge costs one config one timeout,
-    not the round, and the headline gets a second attempt in a fresh
-    session.  ``NVT_BENCH_CHILD=1`` marks children (they run ``main``
-    directly); ``NVT_BENCH_NO_FORK=1`` disables orchestration entirely.
-    """
-    import subprocess
-
-    if not _tpu_link_alive():
+    not the round, and every config walks its reduced-size fallback tiers
+    until a value is measured.  ``NVT_BENCH_CHILD=1`` marks children (they
+    run ``main`` directly); ``NVT_BENCH_NO_FORK=1`` disables orchestration
+    entirely."""
+    relay_up = _tpu_link_alive()
+    if not relay_up and not (set(CONFIGS) & _RELAY_FREE):
         print("TPU tunnel relay is down (connection refused on :8082); "
               "jax init would hang — aborting bench.", file=sys.stderr)
-        _emit({"metric": "decode_throughput_stereo_44k1_longform_batch",
-               "value": 0.0, "unit": "x_realtime_per_chip",
-               "vs_baseline": 0.0}, final=True)
+        _emit({"metric": _HEADLINE_METRIC, "value": 0.0,
+               "unit": "x_realtime_per_chip", "vs_baseline": 0.0},
+              final=True)
         return
 
-    MIN_LEFT = {"batch64": 600.0, "longform_batch_int16": 400.0,
-                "surround51_48k": 200.0,
-                "decode_1test_wav": float("-inf"),
-                "chained_seek": float("-inf")}
-    HEADLINE = "longform_batch"
     headline_line = None
 
     # probe the relay phase first (own child: the probe itself can wedge)
-    # to pick the headline's starting tier — a full-size attempt through a
-    # <3 MB/s phase burns 25 min and dies
     link_rate = None
-    try:
+    if relay_up:
+        try:
+            env = dict(os.environ)
+            env["NVT_BENCH_CHILD"] = "1"
+            env["NVT_BENCH_PROBE_ONLY"] = "1"
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=180,
+            )
+            for ln in proc.stderr.splitlines():
+                if ln.startswith("{"):
+                    print(ln, file=sys.stderr, flush=True)
+                    rec = json.loads(ln)
+                    if rec.get("metric") == "link_d2h_MBps" and "value" in rec:
+                        link_rate = rec["value"]
+        except subprocess.TimeoutExpired:
+            link_rate = 0.0  # probe wedged: treat the link as near-dead
+            _emit({"metric": "link_probe",
+                   "error": "probe child wedged/killed"})
+        except Exception as e:
+            _emit({"metric": "link_probe", "error": str(e)[:120]})
+
+    def _run_child(name, extra_env, limit, attempt, probe_here=False):
+        """One config child; returns True when it produced a value."""
+        nonlocal link_rate, headline_line
         env = dict(os.environ)
+        env.update(extra_env)
         env["NVT_BENCH_CHILD"] = "1"
-        env["NVT_BENCH_PROBE_ONLY"] = "1"
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=180,
-        )
-        for ln in proc.stderr.splitlines():
+        env["NVT_BENCH_CONFIGS"] = name
+        if not probe_here:
+            env["NVT_BENCH_SKIP_PROBE"] = "1"
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=limit,
+            )
+            err = proc.stderr
+        except subprocess.TimeoutExpired as e:
+            err = (e.stderr or b"").decode() if isinstance(
+                e.stderr, bytes) else (e.stderr or "")
+            _emit({"metric": name, "attempt": attempt,
+                   "error": f"config exceeded {limit:.0f}s (killed)"})
+        got = False
+        # relay the child's JSON stderr lines (metrics, probe, errors)
+        for ln in err.splitlines():
             if ln.startswith("{"):
                 print(ln, file=sys.stderr, flush=True)
-                rec = json.loads(ln)
-                if rec.get("metric") == "link_d2h_MBps" and "value" in rec:
-                    link_rate = rec["value"]
-    except subprocess.TimeoutExpired:
-        link_rate = 0.0  # probe wedged: treat the link as near-dead
-        _emit({"metric": "link_probe", "error": "probe child wedged/killed"})
-    except Exception as e:
-        _emit({"metric": "link_probe", "error": str(e)[:120]})
+                try:
+                    rec = json.loads(ln)
+                except ValueError:
+                    continue
+                if rec.get("metric") == "link_d2h_MBps":
+                    if "value" in rec and link_rate is None:
+                        link_rate = rec["value"]
+                    continue
+                if rec.get("value") is not None and "error" not in rec:
+                    got = True
+                if rec.get("metric") == _HEADLINE_METRIC and rec.get(
+                        "value"):
+                    if headline_line is None or (
+                            rec["value"] > headline_line.get("value", 0)):
+                        headline_line = rec
+        return got
 
     for name in CONFIGS:
         if name not in _CFG_FNS:
             print(f"unknown bench config {name!r}", file=sys.stderr)
             continue
+        if not relay_up and name not in _RELAY_FREE:
+            _emit({"metric": name, "skipped": "relay down"})
+            continue
         if name != HEADLINE and _budget_left() < MIN_LEFT.get(name, 0.0):
             _emit({"metric": name, "skipped": "budget exhausted"})
             continue
-        # headline attempt plan: (extra env, child limit).  Attempt 0 is
-        # the full config; if it dies with NO value (wedge or slow-phase
-        # kill) the fallback runs a 4x smaller fixture with 1 rep — same
-        # metric, completes even at ~5 MB/s — because a measured number
-        # from a short run beats a 0.0 every time.  A full-size retry
-        # happens instead when attempt 0 returned a slow-phase value and
-        # budget allows (the metric is best observed throughput and relay
-        # phases drift minutes apart).
-        RETRY_BELOW = 20.0
-        if name == HEADLINE:
-            # progressively smaller tiers: the relay has been observed
-            # anywhere from 44 down to <0.1 MB/s; the smallest tier's
-            # ~18 MB of PCM completes in bounded time on a crawling link.
-            # The upfront phase probe picks the starting tier so a dead
-            # phase doesn't burn 25 min on a doomed full-size attempt.
-            plans = [({}, 1500.0),
-                     ({"NVT_BENCH_REPEATS": "16", "NVT_BENCH_REPS": "1"},
-                      700.0),
-                     ({"NVT_BENCH_REPEATS": "4", "NVT_BENCH_REPS": "1",
-                       "NVT_BENCH_STREAMS": "2"}, 500.0)]
-            if link_rate is not None and link_rate < 8.0:
-                plans = plans[1:] if link_rate >= 1.0 else plans[2:]
-        else:
-            # 600 s floor: even "cheap" configs pay compile + relay
-            # latency in a slow phase (a 300 s limit killed a seek child)
-            plans = [({}, max(600.0, min(1200.0, _budget_left())))]
-        retried_full = False
+        plans = _plans_for(name, link_rate if name not in _RELAY_FREE
+                           else None)
         for attempt, (extra_env, limit) in enumerate(plans):
-            if name == HEADLINE and attempt > 0 and headline_line is not None:
-                # a value exists; the only reason to continue is ONE
-                # full-size re-run on a slow phase with budget to spare
-                if retried_full or \
-                        headline_line.get("value", 0) >= RETRY_BELOW or \
-                        _budget_left() < 600.0:
-                    break
-                extra_env, limit = {}, 1500.0
-                retried_full = True
-            env = dict(os.environ)
-            env.update(extra_env)
-            env["NVT_BENCH_CHILD"] = "1"
-            env["NVT_BENCH_CONFIGS"] = name
-            if name == HEADLINE and attempt == 0 and link_rate is None:
-                pass  # no phase info yet: let this child emit its own probe
-            else:
-                env["NVT_BENCH_SKIP_PROBE"] = "1"
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)],
-                    env=env, capture_output=True, text=True, timeout=limit,
-                )
-                err = proc.stderr
-            except subprocess.TimeoutExpired as e:
-                err = (e.stderr or b"").decode() if isinstance(
-                    e.stderr, bytes) else (e.stderr or "")
-                _emit({"metric": name, "attempt": attempt,
-                       "error": f"config exceeded {limit:.0f}s (killed)"})
-            # relay the child's JSON stderr lines (metrics, probe, errors)
-            for ln in err.splitlines():
-                if ln.startswith("{"):
-                    print(ln, file=sys.stderr, flush=True)
-                    try:
-                        rec = json.loads(ln)
-                    except ValueError:
-                        continue
-                    if rec.get("metric") == _HEADLINE_METRIC and rec.get(
-                            "value"):
-                        if headline_line is None or (
-                                rec["value"] > headline_line.get("value", 0)):
-                            headline_line = rec
-            # (attempt 1 runs the reduced-size fallback when attempt 0
-            # produced no headline value — see the loop-head logic)
-        if name == HEADLINE and headline_line is not None:
-            # stdout carries the headline the moment its attempts finish,
-            # so anything killing a later config can't zero the round
-            _emit(headline_line, final=True)
+            probe_here = (name == HEADLINE and attempt == 0
+                          and link_rate is None)
+            if _run_child(name, extra_env, limit, attempt, probe_here):
+                break  # a value exists; fallback tiers are for no-value
+        if name == HEADLINE:
+            # one full-size re-run when the value smells like a slow phase
+            # (the metric is best observed throughput; phases drift) — but
+            # only if the remaining configs' budget reservations survive:
+            # coverage beats a retry
+            RETRY_BELOW = 20.0
+            if (headline_line is not None
+                    and headline_line.get("value", 0) < RETRY_BELOW):
+                rest = CONFIGS[CONFIGS.index(name) + 1:]
+                reserve = sum(max(0.0, MIN_LEFT.get(c, 0.0))
+                              for c in rest if c in _CFG_FNS)
+                if _budget_left() - reserve >= 700.0:
+                    _run_child(HEADLINE, {}, 1500.0, attempt=99)
+            if headline_line is not None:
+                # stdout carries the headline (exactly once) the moment
+                # its attempts finish, so anything killing a later config
+                # can't zero the round
+                _emit(headline_line, final=True)
 
     if headline_line is None:
         _emit({"metric": _HEADLINE_METRIC, "value": 0.0,
                "unit": "x_realtime_per_chip", "vs_baseline": 0.0},
               final=True)
-
-
-_HEADLINE_METRIC = "decode_throughput_stereo_44k1_longform_batch"
 
 
 if __name__ == "__main__":

@@ -113,6 +113,47 @@ def test_batch_mixed_topologies_and_fixtures():
         assert float(np.abs(got - ref).max()) <= tol
 
 
+def test_batch_heterogeneous_stereo_fleet(tmp_path):
+    """The bench's batch64_mixed fleet shape (4 distinct stereo 44.1 kHz
+    setups: two real encoder outputs + two synthetic topologies with
+    different residue configurations/codebooks): symbol-mode co-batching
+    keys on codebook content, so the fleet fragments into multiple groups
+    — and every stream still decodes exactly."""
+    import numpy as np
+    import nvorbis_tpu as nv
+    from nvorbis_tpu.testgen.ogg_writer import make_long_stream
+    from nvorbis_tpu.testgen.vorbis_writer import make_simple_spec
+
+    long3 = str(tmp_path / "l3.ogg")
+    long6 = str(tmp_path / "l6.ogg")
+    make_long_stream(fixture_path("3test.ogg"), 2, long3)
+    make_long_stream(fixture_path("issue6test.ogg"), 2, long6)
+    spec_a = make_simple_spec(channels=2, sample_rate=44100, residue_type=2)
+    spec_b = make_simple_spec(channels=2, sample_rate=44100, residue_type=1,
+                              n_stages=1, couplings=[])
+    sources = [
+        open(long3, "rb").read(),
+        open(long6, "rb").read(),
+        spec_a.build_stream(np.random.default_rng(2), 24),
+        spec_b.build_stream(np.random.default_rng(3), 24),
+    ] * 2
+
+    bd = BatchDecoder(sources)
+    groups = {
+        BatchDecoder._group_key(st.decoder._setup, st.native)
+        for st in bd._streams if st.native is not None
+    }
+    # the synthetic specs must not co-batch with the fixtures or each
+    # other; the two libvorbis files may share static codebooks
+    assert len(groups) >= 3
+    outs = bd.decode_all()
+    for src, got in zip(sources, outs):
+        ref = nv.VorbisReader(src, engine="oracle").read_all()
+        assert len(got) == len(ref)
+        tol = 5e-6 * max(1.0, float(np.abs(ref).max()) if len(ref) else 1.0)
+        assert float(np.abs(got - ref).max()) <= tol
+
+
 def test_batch_floor0_stream_falls_back():
     """A Floor0 stream (no native representation) must degrade to the
     pure-Python host plane inside a batch, not raise — the reference
