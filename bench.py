@@ -594,11 +594,18 @@ def parent_main():
         if not relay_up and name not in _RELAY_FREE:
             _emit({"metric": name, "skipped": "relay down"})
             continue
-        if name != HEADLINE and _budget_left() < MIN_LEFT.get(name, 0.0):
-            _emit({"metric": name, "skipped": "budget exhausted"})
-            continue
         plans = _plans_for(name, link_rate if name not in _RELAY_FREE
                            else None)
+        if name != HEADLINE and _budget_left() < MIN_LEFT.get(name, 0.0):
+            # budget exhausted: a small measured value still beats a skip
+            # (BENCH_r02's two valueless configs were exactly this).  Run
+            # the SMALLEST tier with a bounded limit; only a truly dry
+            # budget skips.
+            if _budget_left() < 120.0:
+                _emit({"metric": name, "skipped": "budget exhausted"})
+                continue
+            extra_env, limit = plans[-1]
+            plans = [(extra_env, min(limit, max(300.0, _budget_left())))]
         for attempt, (extra_env, limit) in enumerate(plans):
             probe_here = (name == HEADLINE and attempt == 0
                           and link_rate is None)

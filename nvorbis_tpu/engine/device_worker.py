@@ -270,6 +270,18 @@ class DeviceWorker:
         self._fresh = True      # no result received from this child yet
         self._proc = None
         self._conn = None
+        # proactive session recycling (NVT_WORKER_RECYCLE_MB, 0 = off):
+        # relay sessions have been observed to degrade/wedge as a function
+        # of bytes moved, while fresh sessions run at full rate — recycling
+        # the child every N fetched MB trades a respawn (~15 s + cached
+        # compiles) for a fresh transfer stream
+        try:
+            self._recycle_bytes = int(float(
+                os.environ.get("NVT_WORKER_RECYCLE_MB", "") or 0
+            ) * 1024 * 1024)
+        except ValueError:
+            self._recycle_bytes = 0
+        self._bytes_since_spawn = 0
         self._spawn()
 
     # -- lifecycle --------------------------------------------------------
@@ -404,6 +416,23 @@ class DeviceWorker:
         session), replay every unresolved chunk, keep waiting.  After
         ``MAX_RESPAWNS`` expiries raise TimeoutError (callers keep their
         old recovery paths)."""
+        if (self._recycle_bytes
+                and self._bytes_since_spawn >= self._recycle_bytes
+                and seq not in self._results):
+            # voluntary recycle at the byte threshold: kill, fresh session,
+            # replay the (bounded) in-flight window; does not count toward
+            # MAX_RESPAWNS
+            import subprocess
+
+            self._proc.kill()
+            try:
+                self._proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
+            self._conn.close()
+            self._spawn()
+            self._bytes_since_spawn = 0
+            self._replay()
         while seq not in self._results:
             nbytes = self._outstanding[self._order[0]][4]
             timeout = _chunk_timeout(nbytes, self._fresh)
@@ -456,6 +485,7 @@ class DeviceWorker:
                 os.path.join(self._spool, f"res-{seq % RING}.bin"),
                 0, dtype_str, shape,
             )
+            self._bytes_since_spawn += self._results[seq].nbytes
             self._outstanding.pop(seq, None)
             if seq in self._order:
                 self._order.remove(seq)
