@@ -55,6 +55,7 @@ N_STREAMS = int(os.environ.get("NVT_BENCH_STREAMS", "8"))
 REPS = int(os.environ.get("NVT_BENCH_REPS", "3"))
 BUDGET = float(os.environ.get("NVT_BENCH_BUDGET", "1500"))
 B64_REPEATS = int(os.environ.get("NVT_BENCH_B64_REPEATS", "8"))
+FWD_REPEATS = int(os.environ.get("NVT_BENCH_FWD_REPEATS", "8"))
 S51_PACKETS = int(os.environ.get("NVT_BENCH_51_PACKETS", "4096"))
 # headline first (it is the recorded metric), then the cheap configs, then
 # the expensive variants — so a slow relay phase exhausting the budget
@@ -62,7 +63,7 @@ S51_PACKETS = int(os.environ.get("NVT_BENCH_51_PACKETS", "4096"))
 CONFIGS = [c for c in os.environ.get(
     "NVT_BENCH_CONFIGS",
     "longform_batch,host_ceiling,decode_1test_wav,chained_seek,"
-    "surround51_48k,surround51_48k_int16,longform_batch_int16,"
+    "forward_only,surround51_48k,surround51_48k_int16,longform_batch_int16,"
     "batch64,batch64_mixed",
 ).split(",") if c]
 
@@ -244,6 +245,42 @@ def cfg_chained_seek():
     }
 
 
+def cfg_forward_only():
+    """Streaming (non-seekable) decode throughput vs the seekable bulk
+    path on the same bytes.  Forward-only sources can't use the packet
+    table (one C++ packetization pass needs a seekable byte source) but
+    the bulk plane's per-packet provider pull still feeds the same fused
+    chunk programs — the reference treats its forward-only path as a
+    first-class citizen (Ogg/ForwardOnlyPacketProvider.cs), so its
+    throughput is tracked here."""
+    import io
+
+    import nvorbis_tpu as nv
+
+    raw = open(_long_fixture(repeats=FWD_REPEATS), "rb").read()
+
+    class _Fwd(io.BytesIO):
+        def seekable(self):
+            return False
+
+    def _once(wrap):
+        r = nv.VorbisReader(wrap(raw))
+        pcm = r.read_all()
+        sec = len(pcm) / r.channels / r.sample_rate
+        r.dispose()
+        return sec
+
+    _once(_Fwd)  # warm
+    fwd = _timed_best(lambda: _once(_Fwd), reps=1)
+    seek = _timed_best(lambda: _once(io.BytesIO), reps=1)
+    return {
+        "metric": "decode_throughput_forward_only",
+        "value": round(fwd, 3),
+        "unit": "x_realtime_per_chip",
+        "seekable_ratio": round(fwd / max(seek, 1e-9), 3),
+    }
+
+
 def _surround51_raws():
     import numpy as np
 
@@ -382,6 +419,7 @@ _CFG_FNS = {
     "decode_1test_wav": cfg_decode_1test_wav,
     "chained_seek": cfg_chained_seek,
     "surround51_48k": cfg_surround51_48k,
+    "forward_only": cfg_forward_only,
     "surround51_48k_int16": cfg_surround51_48k_int16,
     "batch64": cfg_batch64,
     "batch64_mixed": cfg_batch64_mixed,
@@ -396,6 +434,7 @@ _RELAY_FREE = {"host_ceiling"}
 # configs (host-oracle decode, a second of seeks, the relay-free ceiling)
 # always run, even after a slow phase ate the budget.
 MIN_LEFT = {"batch64": 500.0, "batch64_mixed": 500.0,
+            "forward_only": 250.0,
             "longform_batch_int16": 300.0,
             "surround51_48k": 200.0, "surround51_48k_int16": 150.0,
             "decode_1test_wav": float("-inf"),
@@ -483,6 +522,9 @@ def _plans_for(name, link_rate):
     elif name in ("surround51_48k", "surround51_48k_int16"):
         plans = [({}, 700.0),
                  ({"NVT_BENCH_51_PACKETS": "1024"}, 450.0)]
+    elif name == "forward_only":
+        plans = [({}, 700.0),
+                 ({"NVT_BENCH_FWD_REPEATS": "2"}, 450.0)]
     else:
         # cheap / relay-free configs: one attempt with a generous floor
         # (even "cheap" configs pay compile + relay latency in a slow

@@ -129,3 +129,37 @@ def test_bulk_multi_chunk_synthetic():
     got = nv.VorbisReader(blob, engine="jax").read_all()
     assert len(got) == len(ref)
     assert float(np.abs(got - ref).max()) <= 2e-6
+
+
+def test_bulk_forward_only_source():
+    """A non-seekable source still reaches the bulk fast plane: the packet
+    table needs seekability but the provider-pull path feeds the same
+    fused chunk programs (the reference's forward-only path is a
+    first-class citizen, Ogg/ForwardOnlyPacketProvider.cs)."""
+    import io
+
+    import numpy as np
+    import nvorbis_tpu.engine.bulk as bulk_mod
+    from conftest import fixture_path
+
+    class _Fwd(io.BytesIO):
+        def seekable(self):
+            return False
+
+    raw = open(fixture_path("3test.ogg"), "rb").read()
+    used = {"n": 0}
+    orig = bulk_mod.BulkDecoder.run
+
+    def traced(self):
+        used["n"] += 1
+        return orig(self)
+
+    bulk_mod.BulkDecoder.run = traced
+    try:
+        got = nv.VorbisReader(_Fwd(raw)).read_all()
+    finally:
+        bulk_mod.BulkDecoder.run = orig
+    assert used["n"] == 1
+    ref = nv.VorbisReader(fixture_path("3test.ogg"), engine="oracle").read_all()
+    assert len(got) == len(ref)
+    assert float(np.abs(got - ref).max()) <= 2e-6
