@@ -16,6 +16,13 @@ Numerics: float32 accumulation in K-major order — within 1e-6 of
 ``jnp.dot(..., precision=HIGHEST)`` but not bit-identical to it (tile-order
 float sums differ); the decode engines keep the XLA matmul as the default
 until on-chip profiling justifies switching.
+
+STATUS (2026-08-17, NOTES.md "Pallas kernel mandate"): FROZEN as a
+reference kernel.  On-chip A/B at equal f32 precision measured
+0.85-0.96x vs the XLA dot at every hot shape, and device compute is <1%
+of end-to-end wall in every reachable regime (the link or the host plane
+binds first), so there is no target a fused variant could visibly move.
+Kept compiling and tested behind ``NVT_PALLAS``; not extended.
 """
 
 import functools
