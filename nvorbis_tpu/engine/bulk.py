@@ -47,7 +47,7 @@ def _env_pow2(name: str, default: int) -> int:
     return 1 << (n.bit_length() - 1)
 
 
-CHUNK_FRAMES = _env_pow2("NVT_CHUNK_FRAMES", 8192)
+CHUNK_FRAMES = _env_pow2("NVT_CHUNK_FRAMES", 4096)
 # per-block-size collection cap: full chunks then hold exactly this many
 # frames of the dominant size, so their padded bucket shapes — and
 # therefore the compiled program — repeat across chunks

@@ -72,6 +72,17 @@ def apply_env(env):
             os.environ[k] = v
         else:
             os.environ.pop(k, None)
+    # chunk-size knobs are bound at import (deliberately: startup knobs, so
+    # the compiled-shape cache stays stable for library users); the A/B
+    # needs them live, so refresh both modules' copies from the env
+    import nvorbis_tpu.engine.bulk as bulk
+    import nvorbis_tpu.parallel.batch as batch
+
+    cf = bulk._env_pow2("NVT_CHUNK_FRAMES", 4096)
+    cap = bulk._env_pow2("NVT_CAP_PER_SIZE", max(1, cf // 2))
+    for m in (bulk, batch):
+        m.CHUNK_FRAMES = cf
+        m.CAP_PER_SIZE = cap
 
 
 for name, spec in VARIANTS.items():  # warm every variant's shapes
