@@ -54,6 +54,9 @@ TARGET_X_REALTIME = 500.0
 N_STREAMS = int(os.environ.get("NVT_BENCH_STREAMS", "8"))
 REPS = int(os.environ.get("NVT_BENCH_REPS", "3"))
 BUDGET = float(os.environ.get("NVT_BENCH_BUDGET", "1500"))
+# absolute wall cap on starting any further config (soft-budget overruns
+# still get smallest-tier attempts below it; see parent_main)
+HARD_CAP = float(os.environ.get("NVT_BENCH_HARD_CAP", "4800"))
 B64_REPEATS = int(os.environ.get("NVT_BENCH_B64_REPEATS", "8"))
 FWD_REPEATS = int(os.environ.get("NVT_BENCH_FWD_REPEATS", "8"))
 S51_PACKETS = int(os.environ.get("NVT_BENCH_51_PACKETS", "4096"))
@@ -474,7 +477,11 @@ def main():
         if not relay_up and name not in _RELAY_FREE:
             _emit({"metric": name, "skipped": "relay down"})
             continue
-        if name != HEADLINE and _budget_left() < MIN_LEFT.get(name, 0.0):
+        if (name != HEADLINE and not os.environ.get("NVT_BENCH_CHILD")
+                and _budget_left() < MIN_LEFT.get(name, 0.0)):
+            # orchestrated children skip this gate: the parent already
+            # sized the attempt and enforces its own limit, and the child
+            # inherits the parent's (possibly exhausted) NVT_BENCH_BUDGET
             _emit({"metric": name, "skipped": "budget exhausted"})
             continue
         try:
@@ -640,14 +647,21 @@ def parent_main():
                            else None)
         if name != HEADLINE and _budget_left() < MIN_LEFT.get(name, 0.0):
             # budget exhausted: a small measured value still beats a skip
-            # (BENCH_r02's two valueless configs were exactly this).  Run
-            # the SMALLEST tier with a bounded limit; only a truly dry
-            # budget skips.
-            if _budget_left() < 120.0:
-                _emit({"metric": name, "skipped": "budget exhausted"})
+            # (BENCH_r02's two valueless configs were exactly this;
+            # BENCH_r03 validation showed a full-size headline in a
+            # 17 MB/s phase eating the whole budget and skipping three
+            # configs).  The headline is already on stdout by now, so
+            # running more configs can only ADD coverage — run the
+            # SMALLEST tier with a bounded limit regardless of budget;
+            # only the hard wall cap skips (it exists to respect an
+            # external kill deadline, where a mid-config kill and a skip
+            # record the same nothing).
+            if time.perf_counter() - _T0 > HARD_CAP:
+                _emit({"metric": name, "skipped":
+                       f"hard wall cap {HARD_CAP:.0f}s reached"})
                 continue
             extra_env, limit = plans[-1]
-            plans = [(extra_env, min(limit, max(300.0, _budget_left())))]
+            plans = [(extra_env, min(limit, 420.0))]
         for attempt, (extra_env, limit) in enumerate(plans):
             probe_here = (name == HEADLINE and attempt == 0
                           and link_rate is None)
