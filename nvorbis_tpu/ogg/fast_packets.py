@@ -73,7 +73,49 @@ def plan_job(planner, ov_tab, blk_tab, setup, meta, job, stats, last_plan):
             totb = meta[:nj, 4].astype(np.int64)
             stats.add_window(samples, bits, totb - bits, job["ovh_bits"])
             return plans, plans[-1]
+    return _plan_sequential(planner, setup, meta, job, stats, last_plan)
 
+
+def plan_job_arr(planner, ov_tab, blk_tab, setup, meta, job, stats,
+                 last_plan):
+    """Array-first :func:`plan_job` for the batch dispatcher.
+
+    Returns ``(pa, plans, last_plan)``: ``pa`` the ``[nj, 5]`` int64
+    (ok, pos_base, start, valid, total) columns, ``plans`` the boxed
+    FramePlan list — or None on the vectorized path, where only the
+    final (carry) plan exists as an object and per-frame boxing would be
+    pure overhead (93k objects/round measured before removal).
+    """
+    nj = job["n"]
+    if (job.get("gran_arr") is not None
+            and bool((meta[:nj, 0] == 1).all())):
+        mode_ids = meta[:nj, 1]
+        widx = meta[:nj, 2]
+        svt = ov_tab[mode_ids, widx]
+        res = plan_window(
+            planner, svt[:, 0], svt[:, 1], svt[:, 2],
+            job["gran_arr"], job["has_gran"], job["eos"],
+            blk_tab[mode_ids], box=False,
+        )
+        if res is not None:
+            pa, samples, lp = res
+            bits = meta[:nj, 3].astype(np.int64)
+            totb = meta[:nj, 4].astype(np.int64)
+            stats.add_window(samples, bits, totb - bits, job["ovh_bits"])
+            return pa, None, (lp if lp is not None else last_plan)
+    plans, lp = _plan_sequential(planner, setup, meta, job, stats,
+                                 last_plan)
+    pa = np.array(
+        [(p.ok, p.pos_base, p.start, p.valid, p.total) for p in plans],
+        dtype=np.int64,
+    ).reshape(len(plans), 5)
+    return pa, plans, lp
+
+
+def _plan_sequential(planner, setup, meta, job, stats, last_plan):
+    """The per-packet ``planner.add`` loop — owns every edge case
+    (bad packets, resync, granule pickup, prev-tail clamping)."""
+    nj = job["n"]
     granules = job["granules"]
     if granules is None:  # table job falling back to the slow path
         granules = [

@@ -33,7 +33,7 @@ from nvorbis_tpu.engine.bulk import (
     StreamPlanner, _round_up, peek_mode_index, CAP_PER_SIZE, CHUNK_FRAMES,
     L_QUANTUM,
 )
-from nvorbis_tpu.ogg.fast_packets import plan_job
+from nvorbis_tpu.ogg.fast_packets import plan_job_arr
 from nvorbis_tpu.synth.device import synth_spectra, floor1_bin_map, _XS_PAD
 from nvorbis_tpu.synth.oracle import imdct_basis
 from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
@@ -306,8 +306,13 @@ class BatchDecoder:
                 continue
             groups[self._group_key(st.decoder._setup, st.native)].append(st)
 
-        for key, members in groups.items():
-            self._decode_group(members)
+        try:
+            for key, members in groups.items():
+                self._decode_group(members)
+        finally:
+            if self._unpack_pool is not None:
+                self._unpack_pool.shutdown(wait=False)
+                self._unpack_pool = None
 
         # clipping happened on-device (program epilogue) or inside the
         # fallback reader — no whole-output host pass here
@@ -577,12 +582,22 @@ class BatchDecoder:
             if len(jobs) == 1:
                 unpacked = [_unpack(jobs[0])]
             else:
-                with ThreadPoolExecutor(
-                    max_workers=min(4, len(jobs))
-                ) as ex:
-                    unpacked = list(ex.map(_unpack, jobs))
+                # persistent pool: per-chunk executor create/join costs
+                # ~5-8 ms/chunk in pure thread churn
+                ex = self._unpack_pool
+                if ex is None:
+                    ex = self._unpack_pool = ThreadPoolExecutor(
+                        max_workers=4, thread_name_prefix="nvt-unpack"
+                    )
+                unpacked = list(ex.map(_unpack, jobs))
 
         # phase 3: per-packet lapping plans + stats (order-sensitive)
+        stream_rows = []  # (st, r0, r1, plans|None, last_plan)
+        plan_cols = []    # per job: [nj, 5] int64 (ok, pos_base, start,
+                          # valid, total) — the dispatch-plane view; the
+                          # boxed FramePlan list exists only on the
+                          # sequential fallback path (bad packets)
+        r0 = 0
         for job, arrs in zip(jobs, unpacked):
             st = job["st"]
             dec = st.decoder
@@ -593,11 +608,14 @@ class BatchDecoder:
                 ids_l.append(ids)
             else:
                 residue, ys, used, has_floor, meta = arrs
-            new_plans, st.last_plan = plan_job(
+            pa, new_plans, st.last_plan = plan_job_arr(
                 st.planner, st.ov_tab, st.blk_tab, setup, meta, job,
                 dec._stats, st.last_plan,
             )
-            plans.extend((st, p, meta[i]) for i, p in enumerate(new_plans))
+            plan_cols.append(pa)
+            stream_rows.append((st, r0, r0 + len(pa), new_plans,
+                                st.last_plan))
+            r0 += len(pa)
             if not self._sym:
                 residues.append(residue)
             yss.append(ys)
@@ -608,12 +626,13 @@ class BatchDecoder:
             "ys": self._pad_cat(yss, P),
             "used": self._pad_cat(useds, P),
             "has_floor": np.concatenate(hfs),
-            "plans": plans,
+            "plan_arr": np.concatenate(plan_cols),
+            "stream_rows": stream_rows,
+            "meta": np.concatenate(metas),
         }
         if self._sym:
             chunk["classes"] = np.concatenate(classes_l)
             chunk["ids"] = np.concatenate(ids_l)
-            chunk["meta"] = np.concatenate(metas)
         else:
             chunk["residue"] = np.concatenate(residues)
         return chunk
@@ -672,40 +691,57 @@ class BatchDecoder:
 
     def _dispatch(self, chunk, C, P, setup0, xs_dev, win_dev, basis_dev,
                   sl_dev):
-        plans = chunk["plans"]
+        """Stage one chunk's bucket tensors + segment tables.
+
+        Everything per-frame arrives as numpy columns (``plan_arr`` /
+        ``meta``) and is consumed with whole-array ops: bucketing, flat-row
+        assignment, and the per-stream lapping segment tables are all
+        vectorized (a 4096-frame chunk previously spent ~48 ms in
+        per-frame Python loops here — the dominant host-plane cost after
+        the C++ unpack).  Streams whose window contains a bad packet take
+        a scalar fallback walk that owns the drain-the-previous-tail
+        semantics (``NVorbis/StreamDecoder.cs:352-356``)."""
+        arr = chunk["plan_arr"]    # [R,5] ok, pos_base, start, valid, total
+        meta_all = chunk["meta"]
+        stream_rows = chunk["stream_rows"]
         n_modes = len(setup0.modes)
+        R = arr.shape[0]
 
-        # bucket frame rows by block size
-        buckets = defaultdict(list)  # n -> [(chunk_row, st, plan, meta)]
-        chunk_row_of = {}            # id(plan) -> chunk-local row
-        for row, (st, plan, meta) in enumerate(plans):
-            chunk_row_of[id(plan)] = row
-            if plan.ok:
-                n = setup0.modes[meta[1]].block_size
-                buckets[n].append((row, st, plan, meta))
+        ok = arr[:, 0] == 1
+        mode_r = meta_all[:, 1].astype(np.int64)
+        widx_r = meta_all[:, 2].astype(np.int64)
+        blk_vec = np.array([m.block_size for m in setup0.modes],
+                           dtype=np.int64)
+        # bad rows may carry garbage mode fields: clamp the index, zero
+        # the size so they never match a bucket
+        bsz = np.where(ok, blk_vec[np.minimum(mode_r, n_modes - 1)], 0)
 
-        # carry frames prepend their stream's first bucket by block size
+        slot_r = np.empty(R, dtype=np.int64)  # stream slot per chunk row
+        for st, r0, r1, _, _ in stream_rows:
+            slot_r[r0:r1] = self._stream_slot[id(st)]
+
+        # bucket sizes present, plus carry-only block sizes
+        ns = {int(n) for n in np.unique(bsz[ok])} if ok.any() else set()
         carries = []
-        for st in {id(st): st for st, _, _ in plans}.values():
+        for st, _, _, _, _ in stream_rows:
             if st.carry is not None:
                 carries.append(st)
-                cn = setup0.modes[st.carry[0]["meta"][1]].block_size
-                buckets.setdefault(cn, [])  # bucket may hold only the carry
+                ns.add(setup0.modes[st.carry[0]["meta"][1]].block_size)
 
         cfg_buckets = []
         args = []
         row_base = 0
-        global_row = {}   # (id(st), id(plan)) -> flat row index
-        n_max = max(buckets) if buckets else setup0.block1_size
+        gr = np.full(R, -1, dtype=np.int64)  # chunk row -> flat bucket row
+        n_max = max(ns) if ns else setup0.block1_size
         carry_rows = {}
 
-        for n in sorted(buckets):
-            rows = buckets[n]
+        for n in sorted(ns):
+            ridx = np.flatnonzero(ok & (bsz == n))
             n2 = n // 2
             # carries whose frame uses this block size
             cs = [st for st in carries
                   if setup0.modes[st.carry[0]["meta"][1]].block_size == n]
-            B = len(rows) + len(cs)
+            B = len(ridx) + len(cs)
             B_pad = _bucket_size(B)
             if self._sym:
                 from nvorbis_tpu.synth.residue_sym import (
@@ -746,36 +782,28 @@ class BatchDecoder:
                 j += 1
             # bulk-gather the frame rows (one fancy-index op per tensor —
             # a per-frame python loop costs ~1s/chunk at 8k frames)
-            if rows:
-                R = len(rows)
-                ridx = np.fromiter((r[0] for r in rows), dtype=np.int64,
-                                   count=R)
-                metas_r = np.stack([r[3] for r in rows])
-                dst = slice(j, j + R)
+            if len(ridx):
+                Rn = len(ridx)
+                dst = slice(j, j + Rn)
                 ys_b[dst] = chunk["ys"][ridx]
                 used_b[dst] = chunk["used"][ridx]
                 hf_b[dst] = chunk["has_floor"][ridx]
-                widx_b[dst] = metas_r[:, 2]
-                si_arr = np.fromiter(
-                    (self._stream_slot[id(r[1])] for r in rows),
-                    dtype=np.int64, count=R,
-                )
-                tid_b[dst] = si_arr * n_modes + metas_r[:, 1]
+                widx_b[dst] = widx_r[ridx]
+                tid_b[dst] = slot_r[ridx] * n_modes + mode_r[ridx]
                 if self._sym:
                     cls_b[dst, :, :n_part] = (
                         chunk["classes"][ridx][:, :chr_c, :n_part]
                     )
                     flat_rows, base_rows = flatten_ids(
-                        chunk["ids"][ridx], metas_r[:, 5]
+                        chunk["ids"][ridx], meta_all[ridx, 5]
                     )
                     base_b[dst] = pos + base_rows
                     id_parts.append(flat_rows)
                     pos += len(flat_rows)
                 else:
                     res_b[dst] = chunk["residue"][ridx][:, :, :n2]
-                for k, (row, st, plan, meta) in enumerate(rows):
-                    global_row[(id(st), id(plan))] = row_base + j + k
-                j += R
+                gr[ridx] = row_base + j + np.arange(Rn)
+                j += Rn
 
             T, W = self._win_shapes[n][:2]
             cpl = tuple(zip(
@@ -813,82 +841,121 @@ class BatchDecoder:
             row_base += B_pad
 
         # --- per-stream segment tables laid out consecutively -------------
-        segs = []
-        ranges = []  # (st, out_offset, length)
+        # (st, out_offset, length) per stream; segment columns collected as
+        # arrays — chunk rows per stream are contiguous, so each stream is
+        # one vectorized slice
+        seg_s, seg_prim, seg_sec, seg_sl = [], [], [], []
+        ranges = []
         out_off = 0
-        by_stream = defaultdict(list)
-        for st, plan, meta in plans:
-            by_stream[id(st)].append((st, plan, meta))
-        for sid, items in by_stream.items():
-            st = items[0][0]
+        for st, r0, r1, plan_objs, last_plan_obj in stream_rows:
+            sid = id(st)
             chunk_base = st.chunk_base
             prev_plan = st.carry[1] if st.carry is not None else None
             prev_row = carry_rows.get(sid)
-            drained = prev_plan is None
-            s_segs = []
-            for st_, plan, meta in items:
-                if not plan.ok:
-                    if not drained and prev_plan is not None:
-                        s = (prev_plan.pos_base
-                             + (prev_plan.valid - prev_plan.start) - chunk_base)
-                        length = prev_plan.total - prev_plan.valid
-                        s_segs.append((s, length,
-                                       prev_row * n_max + prev_plan.valid,
-                                       0, 0))
-                        drained = True
-                    continue
-                s = plan.pos_base - chunk_base
-                length = plan.valid - plan.start
-                sec_flat = sec_len = 0
-                if not drained and prev_plan is not None:
-                    sec_len = prev_plan.total - prev_plan.valid
-                    sec_flat = prev_row * n_max + prev_plan.valid
-                s_segs.append((
-                    s, length,
-                    global_row[(sid, id(plan))] * n_max + plan.start,
-                    sec_flat, sec_len,
-                ))
-                prev_plan = plan
-                prev_row = global_row[(sid, id(plan))]
-                drained = False
+            okm = ok[r0:r1]
+            all_good = bool(okm.all())
+            if all_good and r1 > r0:
+                # fast path: every frame laps its predecessor (the carry
+                # frame for the first row)
+                A_c = arr[r0:r1, 1]
+                st_c = arr[r0:r1, 2]
+                v_c = arr[r0:r1, 3]
+                t_c = arr[r0:r1, 4]
+                grs = gr[r0:r1]
+                s_ = A_c - chunk_base
+                length = v_c - st_c
+                prim_ = grs * n_max + st_c
+                sec_ = np.zeros(r1 - r0, dtype=np.int64)
+                sl_ = np.zeros(r1 - r0, dtype=np.int64)
+                sl_[1:] = t_c[:-1] - v_c[:-1]
+                sec_[1:] = grs[:-1] * n_max + v_c[:-1]
+                if prev_plan is not None:
+                    sl_[0] = prev_plan.total - prev_plan.valid
+                    sec_[0] = prev_row * n_max + prev_plan.valid
+                # clip lead-ins (a stream's first-ever frame plans s<0)
+                d = np.maximum(0, -s_)
+                if d.any():
+                    s_ = s_ + d
+                    length = length - d
+                    prim_ = prim_ + d
+                    sec_ = sec_ + d
+                    sl_ = np.maximum(0, sl_ - d)
+                keep = length > 0
+                seg_s.append(out_off + s_[keep])
+                seg_prim.append(prim_[keep])
+                seg_sec.append(sec_[keep])
+                seg_sl.append(sl_[keep])
+            elif r1 > r0:
+                # scalar walk: bad frames drain the previous tail once
+                # (StreamDecoder.cs:352-356 silence-drain semantics)
+                if prev_plan is not None:
+                    p_pos, p_start = prev_plan.pos_base, prev_plan.start
+                    p_valid, p_total = prev_plan.valid, prev_plan.total
+                    p_row = prev_row
+                    drained = False
+                else:
+                    p_pos = p_start = p_valid = p_total = p_row = 0
+                    drained = True
+                s_segs = []
+                for i in range(r0, r1):
+                    if not arr[i, 0]:
+                        if not drained:
+                            s = p_pos + (p_valid - p_start) - chunk_base
+                            s_segs.append((s, p_total - p_valid,
+                                           p_row * n_max + p_valid, 0, 0))
+                            drained = True
+                        continue
+                    s = arr[i, 1] - chunk_base
+                    length = arr[i, 3] - arr[i, 2]
+                    sec_flat = sec_len_ = 0
+                    if not drained:
+                        sec_len_ = p_total - p_valid
+                        sec_flat = p_row * n_max + p_valid
+                    s_segs.append((s, length, gr[i] * n_max + arr[i, 2],
+                                   sec_flat, sec_len_))
+                    p_pos, p_start = arr[i, 1], arr[i, 2]
+                    p_valid, p_total = arr[i, 3], arr[i, 4]
+                    p_row = gr[i]
+                    drained = False
+                for s, length, pr_, se_, sl2 in s_segs:
+                    if s < 0:
+                        d = -s
+                        s, length = 0, length - d
+                        pr_ += d
+                        se_ += d
+                        sl2 = max(0, sl2 - d)
+                    if length > 0:
+                        seg_s.append(np.array([out_off + s], dtype=np.int64))
+                        seg_prim.append(np.array([pr_], dtype=np.int64))
+                        seg_sec.append(np.array([se_], dtype=np.int64))
+                        seg_sl.append(np.array([sl2], dtype=np.int64))
 
-            # clip lead-ins, shift into the shared output space
             length_total = st.planner.emitted - chunk_base
-            for s, length, prim, sec, sl in s_segs:
-                if s < 0:
-                    d = -s
-                    s, length = 0, length - d
-                    prim += d
-                    sec += d
-                    sl = max(0, sl - d)
-                if length > 0:
-                    segs.append((out_off + s, prim, sec, sl))
             if length_total > 0:
                 ranges.append((st, out_off, length_total))
                 out_off += length_total
 
             # update carry for the next chunk
-            last_good = None
-            for st_, plan, meta in reversed(items):
-                if plan.ok:
-                    last_good = (plan, meta)
-                    break
-            if last_good is not None:
-                plan, meta = last_good
-                k = chunk_row_of[id(plan)]
+            good_idx = np.flatnonzero(okm)
+            if len(good_idx):
+                k = r0 + int(good_idx[-1])
+                meta_k = meta_all[k]
                 crow = {
                     "ys": chunk["ys"][k].copy(),
                     "used": chunk["used"][k].copy(),
                     "has_floor": chunk["has_floor"][k].copy(),
-                    "meta": meta,
-                    "tid": self._stream_slot[sid] * n_modes + int(meta[1]),
+                    "meta": meta_k,
+                    "tid": self._stream_slot[sid] * n_modes + int(meta_k[1]),
                 }
                 if self._sym:
                     crow["classes"] = chunk["classes"][k].copy()
-                    crow["ids"] = chunk["ids"][k, : int(meta[5])].copy()
+                    crow["ids"] = chunk["ids"][k, : int(meta_k[5])].copy()
                 else:
                     crow["residue"] = chunk["residue"][k].copy()
-                st.carry = (crow, plan)
+                # fast path boxes only the window's final plan — with
+                # every frame good, the last good row IS that frame
+                st.carry = (crow, plan_objs[k - r0] if plan_objs is not None
+                            else last_plan_obj)
             st.chunk_base = st.planner.emitted
 
         L_real = out_off
@@ -897,18 +964,21 @@ class BatchDecoder:
         # pow2 program shape, quantized device-side slice for the fetch
         # (see engine/bulk.py)
         L_pad = max(L_QUANTUM, 1 << (L_real - 1).bit_length())
-        S_pad = _round_up(max(1, len(segs)), 256)
-        segE = np.zeros(S_pad + 1, dtype=np.int32)
+        segs_s = (np.concatenate(seg_s) if seg_s
+                  else np.zeros(0, dtype=np.int64))
+        n_segs = len(segs_s)
+        S_pad = _round_up(max(1, n_segs), 256)
+        segE = np.empty(S_pad + 1, dtype=np.int32)
         prim = np.zeros(S_pad, dtype=np.int32)
         sec = np.zeros(S_pad, dtype=np.int32)
         sec_len = np.zeros(S_pad, dtype=np.int32)
-        for k2, (s, pr, se, sl) in enumerate(segs):
-            segE[k2] = s
-            prim[k2] = pr
-            sec[k2] = se
-            sec_len[k2] = sl
-        for k2 in range(len(segs), S_pad + 1):
-            segE[k2] = L_pad + 1 + k2
+        segE[:n_segs] = segs_s
+        segE[n_segs:] = L_pad + 1 + np.arange(n_segs, S_pad + 1,
+                                              dtype=np.int32)
+        if n_segs:
+            prim[:n_segs] = np.concatenate(seg_prim)
+            sec[:n_segs] = np.concatenate(seg_sec)
+            sec_len[:n_segs] = np.concatenate(seg_sl)
         W_ = self._wrap
         args.extend([W_(segE), W_(prim), W_(sec), W_(sec_len)])
 
@@ -989,3 +1059,4 @@ class BatchDecoder:
         return finish
 
     _stream_slot = None  # set in decode_all per group
+    _unpack_pool = None  # persistent C++-unpack thread pool (decode_all)

@@ -17,8 +17,20 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-# the stub never dispatches: keep jax off any real backend and silent
-_os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the stub never dispatches: keep jax off any real backend and silent.
+# The env var alone is NOT enough — the axon accelerator plugin
+# force-selects its platform over JAX_PLATFORMS at import, and a wedged
+# tunnel then hangs backend init forever (observed 2026-08-17: this
+# script timed out at 400 s minutes after a relay wedge while the same
+# code had just run fine in a healthy phase).  Pin the config value too,
+# exactly like __graft_entry__._pin_cpu_mesh — this metric must be
+# measurable with the relay DOWN, that is its whole point.
+_os.environ["JAX_PLATFORMS"] = "cpu"
+_os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+
+import jax as _jax
+
+_jax.config.update("jax_platforms", "cpu")
 
 import sys
 import time
