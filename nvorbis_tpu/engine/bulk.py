@@ -435,7 +435,7 @@ class BulkDecoder:
 
         # function-level import: fast_packets imports this module
         from nvorbis_tpu.ogg.fast_packets import (
-            PacketTableCursor, plan_job, table_for_decoder,
+            PacketTableCursor, plan_job_arr, table_for_decoder,
         )
 
         dec = self._dec
@@ -496,7 +496,7 @@ class BulkDecoder:
                         )
                 used = used.astype(bool)
                 has_floor = has_floor.astype(bool)
-                plans, self._last_plan = plan_job(
+                pa, plans, self._last_plan = plan_job_arr(
                     planner, ov_tab, blk_tab, setup, meta, job,
                     dec._stats, self._last_plan,
                 )
@@ -541,7 +541,7 @@ class BulkDecoder:
                     "resync": [p.is_resync for p in packets],
                     "ovh_bits": [p.container_overhead_bits for p in packets],
                 }
-                plans, self._last_plan = plan_job(
+                pa, plans, self._last_plan = plan_job_arr(
                     planner, ov_tab, blk_tab, setup, meta, job,
                     dec._stats, self._last_plan,
                 )
@@ -551,7 +551,7 @@ class BulkDecoder:
             chunk_base = out_chunks[-1][1] if out_chunks else 0
             with span("bulk.dispatch"):
                 finish = self._dispatch_chunk(
-                    residue, ys, used, has_floor, meta, plans, carry,
+                    residue, ys, used, has_floor, meta, pa, carry,
                     chunk_base, planner.emitted,
                 )
 
@@ -583,11 +583,8 @@ class BulkDecoder:
 
             # carry the last good frame into the next chunk (its tail may
             # still lap into samples emitted there)
-            last_good = None
-            for i in range(len(plans) - 1, -1, -1):
-                if plans[i].ok:
-                    last_good = i
-                    break
+            good = np.flatnonzero(pa[:, 0])
+            last_good = int(good[-1]) if len(good) else None
             if last_good is not None:
                 crow = {
                     "ys": ys[last_good].copy(),
@@ -602,7 +599,10 @@ class BulkDecoder:
                     )
                 else:
                     crow["residue"] = residue[last_good].copy()
-                carry = (crow, plans[last_good])
+                # the vectorized plan path boxes only the window's final
+                # plan — with every frame good, the last good row IS it
+                carry = (crow, plans[last_good] if plans is not None
+                         else self._last_plan)
 
         dec._eos_found = True
         dec._prev_buf = None
@@ -620,10 +620,16 @@ class BulkDecoder:
         finally:
             pool.shutdown(wait=False)
 
-    def _dispatch_chunk(self, residue, ys, used, has_floor, meta, plans,
+    def _dispatch_chunk(self, residue, ys, used, has_floor, meta, pa,
                         carry, chunk_base, chunk_end):
         """Synthesize + overlap-add one chunk on device; returns a callable
-        resolving to the interleaved samples of [chunk_base, chunk_end)."""
+        resolving to the interleaved samples of [chunk_base, chunk_end).
+
+        ``pa``: the window's ``[nF, 5]`` int64 lapping-plan columns
+        (ok, pos_base, start, valid, total) from :func:`plan_job_arr` —
+        bucketing, flat-row assignment and the segment table are all
+        whole-array ops (per-frame Python loops here were the dominant
+        residual host cost; see parallel/batch.py for the same shape)."""
         dec = self._dec
         setup = dec._setup
         C = setup.channels
@@ -637,10 +643,13 @@ class BulkDecoder:
         L_pad = max(L_QUANTUM, 1 << (L_real - 1).bit_length())
 
         # bucket rows by mode
-        buckets = {}
-        for i, plan in enumerate(plans):
-            if plan.ok:
-                buckets.setdefault(int(meta[i, 1]), []).append(i)
+        nF = pa.shape[0]
+        ok = pa[:, 0] == 1
+        mode_r = meta[:nF, 1].astype(np.int64)
+        buckets = {
+            int(m): np.flatnonzero(ok & (mode_r == m))
+            for m in np.unique(mode_r[ok])
+        } if ok.any() else {}
 
         # prepend the carry frame to its mode's bucket
         carry_extra = {}
@@ -650,19 +659,19 @@ class BulkDecoder:
 
         cfg_buckets = []
         args = []
-        row_of = {}          # packet index -> global padded row index
+        rof = np.full(nF, -1, dtype=np.int64)  # packet row -> flat row
         carry_row = None
         n_max = 0
         row_base = 0
         mode_ids = sorted(set(list(buckets) + list(carry_extra)))
         for mode_idx in mode_ids:
-            rows = buckets.get(mode_idx, [])
+            ridx = buckets.get(mode_idx, np.zeros(0, dtype=np.int64))
             mode = setup.modes[mode_idx]
             synth = self._synth_for(mode)
             n2, n = synth.n2, synth.n
             n_max = max(n_max, n)
             extra = 1 if mode_idx in carry_extra else 0
-            B = len(rows) + extra
+            B = len(ridx) + extra
             B_pad = synth._bucket(B)
 
             ys_b = np.zeros((B_pad, C, ys.shape[2]), dtype=np.int16)
@@ -705,9 +714,8 @@ class BulkDecoder:
                 carry_row = row_base
                 j = 1
             # bulk-gather frame rows (fancy indexing beats a per-frame loop)
-            if rows:
-                R = len(rows)
-                ridx = np.asarray(rows, dtype=np.int64)
+            if len(ridx):
+                R = len(ridx)
                 dst = slice(j, j + R)
                 ys_b[dst] = ys[ridx]
                 used_b[dst] = used[ridx]
@@ -725,8 +733,7 @@ class BulkDecoder:
                     pos += len(flat_rows)
                 else:
                     res_b[dst] = residue[ridx][:, :, :n2]
-                for k, i in enumerate(rows):
-                    row_of[i] = row_base + j + k
+                rof[ridx] = row_base + j + np.arange(R)
                 j += R
 
             wrap = ((lambda a: ("a", a)) if self._use_worker
@@ -769,57 +776,96 @@ class BulkDecoder:
         # each good frame contributes its consumed span [start, valid) with
         # the previous frame's tail as the lapped secondary; a failed packet
         # drains the previous tail as its own segment
-        segs = []  # (pos, prim_flat, sec_flat, sec_len)
         prev_plan = carry[1] if carry is not None else None
-        prev_row = carry_row
-        drained = prev_plan is None
-        for i, plan in enumerate(plans):
-            if not plan.ok:
-                if not drained and prev_plan is not None:
-                    s = (prev_plan.pos_base
-                         + (prev_plan.valid - prev_plan.start) - chunk_base)
-                    length = prev_plan.total - prev_plan.valid
-                    segs.append((s, length,
-                                 prev_row * n_max + prev_plan.valid, 0, 0))
-                    drained = True
-                continue
-            s = plan.pos_base - chunk_base
-            length = plan.valid - plan.start
-            sec_flat = 0
-            sec_len = 0
-            if not drained and prev_plan is not None:
-                sec_len = prev_plan.total - prev_plan.valid
-                sec_flat = prev_row * n_max + prev_plan.valid
-            segs.append((s, length, row_of[i] * n_max + plan.start,
-                         sec_flat, sec_len))
-            prev_plan = plan
-            prev_row = row_of[i]
-            drained = False
+        if ok.all() and nF:
+            # fast path: every frame laps its predecessor (the carry frame
+            # for the first row)
+            A_c = pa[:, 1]
+            st_c = pa[:, 2]
+            v_c = pa[:, 3]
+            t_c = pa[:, 4]
+            s_ = A_c - chunk_base
+            length = v_c - st_c
+            prim_ = rof * n_max + st_c
+            sec_ = np.zeros(nF, dtype=np.int64)
+            sl_ = np.zeros(nF, dtype=np.int64)
+            sl_[1:] = t_c[:-1] - v_c[:-1]
+            sec_[1:] = rof[:-1] * n_max + v_c[:-1]
+            if prev_plan is not None:
+                sl_[0] = prev_plan.total - prev_plan.valid
+                sec_[0] = carry_row * n_max + prev_plan.valid
+            # clip lead-in segments (carry frame spans the chunk boundary;
+            # the stream's first-ever frame plans s<0)
+            d = np.maximum(0, -s_)
+            if d.any():
+                s_ = s_ + d
+                length = length - d
+                prim_ = prim_ + d
+                sec_ = sec_ + d
+                sl_ = np.maximum(0, sl_ - d)
+            keep = length > 0
+            c_s, c_prim = s_[keep], prim_[keep]
+            c_sec, c_sl = sec_[keep], sl_[keep]
+        else:
+            # scalar walk: bad frames drain the previous tail once
+            # (StreamDecoder.cs:352-356 silence-drain semantics)
+            if prev_plan is not None:
+                p_pos, p_start = prev_plan.pos_base, prev_plan.start
+                p_valid, p_total = prev_plan.valid, prev_plan.total
+                p_row = carry_row
+                drained = False
+            else:
+                p_pos = p_start = p_valid = p_total = p_row = 0
+                drained = True
+            segs = []
+            for i in range(nF):
+                if not pa[i, 0]:
+                    if not drained:
+                        s = p_pos + (p_valid - p_start) - chunk_base
+                        segs.append((s, p_total - p_valid,
+                                     p_row * n_max + p_valid, 0, 0))
+                        drained = True
+                    continue
+                s = pa[i, 1] - chunk_base
+                length = pa[i, 3] - pa[i, 2]
+                sec_flat = sec_len_ = 0
+                if not drained:
+                    sec_len_ = p_total - p_valid
+                    sec_flat = p_row * n_max + p_valid
+                segs.append((s, length, rof[i] * n_max + pa[i, 2],
+                             sec_flat, sec_len_))
+                p_pos, p_start = pa[i, 1], pa[i, 2]
+                p_valid, p_total = pa[i, 3], pa[i, 4]
+                p_row = rof[i]
+                drained = False
+            clipped = []
+            for s, length, pr_, se_, sl2 in segs:
+                if s < 0:
+                    d = -s
+                    s, length = 0, length - d
+                    pr_ += d
+                    se_ += d
+                    sl2 = max(0, sl2 - d)
+                if length > 0:
+                    clipped.append((s, pr_, se_, sl2))
+            c_s = np.array([c[0] for c in clipped], dtype=np.int64)
+            c_prim = np.array([c[1] for c in clipped], dtype=np.int64)
+            c_sec = np.array([c[2] for c in clipped], dtype=np.int64)
+            c_sl = np.array([c[3] for c in clipped], dtype=np.int64)
 
-        # clip lead-in segments (carry frame spans the chunk boundary)
-        clipped = []
-        for s, length, prim, sec, sec_len in segs:
-            if s < 0:
-                d = -s
-                s, length = 0, length - d
-                prim += d
-                sec += d
-                sec_len = max(0, sec_len - d)
-            if length > 0:
-                clipped.append((s, prim, sec, sec_len))
-        S_pad = _round_up(max(1, len(clipped)), 256)
+        n_segs = len(c_s)
+        S_pad = _round_up(max(1, n_segs), 256)
         segE = np.full(S_pad + 1, np.int32(L_pad + 1))
         prim = np.zeros(S_pad, dtype=np.int32)
         sec = np.zeros(S_pad, dtype=np.int32)
         sec_len = np.zeros(S_pad, dtype=np.int32)
-        for k, (s, pr, se, sl) in enumerate(clipped):
-            segE[k] = s
-            prim[k] = pr
-            sec[k] = se
-            sec_len[k] = sl
+        segE[:n_segs] = c_s
+        prim[:n_segs] = c_prim
+        sec[:n_segs] = c_sec
+        sec_len[:n_segs] = c_sl
         # keep segE sorted for the padded tail
-        for k in range(len(clipped), S_pad + 1):
-            segE[k] = L_pad + 1 + k
+        segE[n_segs:] = L_pad + 1 + np.arange(n_segs, S_pad + 1,
+                                              dtype=np.int32)
         wrap = (lambda a: ("a", a)) if self._use_worker else jnp.asarray
         args.extend([wrap(segE), wrap(prim), wrap(sec), wrap(sec_len)])
         from nvorbis_tpu.utils.fetch import int16_transport_enabled

@@ -32,11 +32,24 @@ _lib_failed = False
 
 
 def _build_library():
-    cmd = [
+    base = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
         "-o", _SO, _SRC,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -march=native won every adjacent pair of an in-process A/B on the
+    # bit-serial unpack (BMI2 shifts; +1-5% steady state).  The .so builds
+    # on first use on the machine that runs it, so native is normally
+    # safe; set NVT_NATIVE_PORTABLE=1 when the build directory is shared
+    # across heterogeneous CPUs (the flag is also dropped automatically
+    # when the local toolchain rejects it).
+    if not os.environ.get("NVT_NATIVE_PORTABLE"):
+        try:
+            subprocess.run(base[:1] + ["-march=native"] + base[1:],
+                           check=True, capture_output=True)
+            return
+        except (subprocess.CalledProcessError, OSError):
+            pass
+    subprocess.run(base, check=True, capture_output=True)
 
 
 def reset():
