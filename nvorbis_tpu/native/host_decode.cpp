@@ -48,12 +48,25 @@ struct BitReader {
     int n = count < (int)avail ? count : (int)avail;
     int64_t byte0 = pos >> 3;
     int bit0 = (int)(pos & 7);
-    // read up to 8 bytes little-endian without running off the buffer
-    uint64_t chunk = 0;
     int64_t nbytes_total = (nbits + 7) >> 3;
-    int64_t need = (bit0 + n + 7) >> 3;
-    int64_t take = std::min<int64_t>(need, nbytes_total - byte0);
-    for (int64_t i = take - 1; i >= 0; --i) chunk = (chunk << 8) | data[byte0 + i];
+    uint64_t chunk;
+    if (byte0 + 8 <= nbytes_total) {
+      // hot path: one unaligned little-endian load (this peek runs up to
+      // twice per Huffman symbol — the byte-at-a-time rebuild was the
+      // single largest cost of the whole unpack).  64 - bit0 >= 57 bits
+      // land in the window, matching the documented count bound.
+      std::memcpy(&chunk, data + byte0, 8);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_BIG_ENDIAN__
+      chunk = __builtin_bswap64(chunk);
+#endif
+    } else {
+      // tail: assemble only the bytes that exist
+      chunk = 0;
+      int64_t need = (bit0 + n + 7) >> 3;
+      int64_t take = std::min<int64_t>(need, nbytes_total - byte0);
+      for (int64_t i = take - 1; i >= 0; --i)
+        chunk = (chunk << 8) | data[byte0 + i];
+    }
     uint64_t value = (chunk >> bit0) & ((n >= 64) ? ~0ull : ((1ull << n) - 1));
     *got = n;
     return value;
@@ -79,8 +92,9 @@ struct BitReader {
 
 struct Codebook {
   int32_t dims, entries, table_bits, max_bits, ov_count;
-  const int32_t* tbl_value;   // [1 << table_bits]
-  const int32_t* tbl_length;
+  const int64_t* tbl_pack;    // [1 << table_bits]: (length << 32) | value —
+                              // one cache access per prefix hit instead of
+                              // two parallel int32 arrays
   const int32_t* ov;          // [ov_count][4]: code, mask, length, value
   const float* lookup;        // [entries * dims] or nullptr
 
@@ -92,10 +106,11 @@ struct Codebook {
     int got;
     uint64_t data = br.try_peek(table_bits, &got);
     if (got == 0) return -1;
-    int32_t len = tbl_length[data];
+    int64_t e = tbl_pack[data];
+    int32_t len = (int32_t)(e >> 32);
     if (len > 0) {
       br.skip(len);
-      return tbl_value[data];
+      return (int32_t)(uint32_t)e;
     }
     data = br.try_peek(max_bits, &got);
     for (int i = 0; i < ov_count; ++i) {
@@ -153,6 +168,7 @@ struct Setup {
   std::vector<Mode> modes;
   std::vector<int32_t> blob_i;  // owned copies
   std::vector<float> blob_f;
+  std::vector<std::vector<int64_t>> tbl_packs;  // per-book packed prefix
 };
 
 constexpr int32_t kMagic = 0x4E565431;  // "NVT1"
@@ -675,8 +691,13 @@ void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
     int has_lookup = p[i++];
     int64_t lookup_off = p[i++];
     int64_t tbl = 1ll << cb.table_bits;
-    cb.tbl_value = &p[i]; i += tbl;
-    cb.tbl_length = &p[i]; i += tbl;
+    const int32_t* tv = &p[i]; i += tbl;
+    const int32_t* tl = &p[i]; i += tbl;
+    std::vector<int64_t> pk((size_t)tbl);
+    for (int64_t k = 0; k < tbl; ++k)
+      pk[(size_t)k] = ((int64_t)tl[k] << 32) | (uint32_t)tv[k];
+    s->tbl_packs.push_back(std::move(pk));
+    cb.tbl_pack = s->tbl_packs.back().data();
     cb.ov = &p[i]; i += (int64_t)cb.ov_count * 4;
     cb.lookup = has_lookup ? &fp[lookup_off] : nullptr;
     s->books.push_back(cb);
