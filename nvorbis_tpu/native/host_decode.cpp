@@ -143,6 +143,10 @@ struct Residue {
   const int32_t* cascade;     // [classifications]
   const int32_t* books;       // [classifications * max_stages] (-1 = none)
   const int32_t* decode_map;  // [partvals * cb_dims]
+  const int32_t* groups_tab;  // [classifications * max_stages]: precomputed
+                              // sym_groups(cls, stage) — recomputing it per
+                              // partition was measurable in both the decode
+                              // and finalize loops
 };
 
 struct Mapping {
@@ -169,9 +173,41 @@ struct Setup {
   std::vector<int32_t> blob_i;  // owned copies
   std::vector<float> blob_f;
   std::vector<std::vector<int64_t>> tbl_packs;  // per-book packed prefix
+  std::vector<std::vector<int32_t>> groups_tabs;  // per-residue (see Residue)
 };
 
 constexpr int32_t kMagic = 0x4E565431;  // "NVT1"
+
+// ------------------------------------------------ residue symbol buffering
+
+struct SymEntry {
+  int16_t stage, ch, part, gidx;
+  int32_t id;
+};
+
+struct SymSink {
+  std::vector<SymEntry> entries;
+  inline void add(int stage, int ch, int part, int gidx, int id) {
+    entries.push_back({(int16_t)stage, (int16_t)ch, (int16_t)part,
+                       (int16_t)gidx, id});
+  }
+};
+
+// per-thread reusable scratch: the unpack runs per packet on a pool, and
+// per-frame vector construction (sink entries, class caches, prefix bases,
+// floor posts) was pure allocator churn.  `cache` is shared by the dense
+// and symbol residue decoders — a frame runs exactly one of them.
+struct Scratch {
+  SymSink sink;
+  std::vector<const int32_t*> cache;
+  std::vector<int32_t> base;
+  std::vector<int> posts;
+  std::vector<uint8_t> execute, dnd;
+};
+inline Scratch& scratch() {
+  static thread_local Scratch sc;
+  return sc;
+}
 
 // ------------------------------------------------------------- floor1 unpack
 
@@ -192,7 +228,8 @@ bool floor1_unpack(const Setup& s, const Floor1& f, BitReader& br,
   std::memset(used_out, 0, P);
   if (!br.read_bit()) return false;
 
-  std::vector<int> posts(f.post_count, 0);
+  std::vector<int>& posts = scratch().posts;
+  posts.assign(f.post_count, 0);
   posts[0] = (int)br.read(f.y_bits);
   posts[1] = (int)br.read(f.y_bits);
   int post_idx = 2;
@@ -322,7 +359,8 @@ void residue_decode(const Setup& s, const Residue& r, BitReader& br,
   int part_words = (partitions + cb_dims - 1) / cb_dims;
 
   // classword cache: [eff_ch][part_words] -> decode_map row
-  std::vector<const int32_t*> cache((size_t)eff_ch * part_words, nullptr);
+  std::vector<const int32_t*>& cache = scratch().cache;
+  cache.assign((size_t)eff_ch * part_words, nullptr);
 
   // type 2 writes through a virtual interleaved vector
   auto add_t2 = [&](int64_t pos, float v) {
@@ -392,18 +430,6 @@ void residue_decode(const Setup& s, const Residue& r, BitReader& br,
 
 constexpr uint8_t kClassSentinel = 0xFF;  // partition not decoded / no class
 
-struct SymEntry {
-  int16_t stage, ch, part, gidx;
-  int32_t id;
-};
-
-struct SymSink {
-  std::vector<SymEntry> entries;
-  inline void add(int stage, int ch, int part, int gidx, int id) {
-    entries.push_back({(int16_t)stage, (int16_t)ch, (int16_t)part,
-                       (int16_t)gidx, id});
-  }
-};
 
 // groups (= id slots) per partition for (class, stage); 0 when no book
 inline int sym_groups(const Setup& s, const Residue& r, int cls, int stage) {
@@ -438,7 +464,8 @@ void residue_decode_sym(const Setup& s, const Residue& r, BitReader& br,
   int cb_dims = r.cb_dims;
   int part_words = (partitions + cb_dims - 1) / cb_dims;
 
-  std::vector<const int32_t*> cache((size_t)eff_ch * part_words, nullptr);
+  std::vector<const int32_t*>& cache = scratch().cache;
+  cache.assign((size_t)eff_ch * part_words, nullptr);
 
   for (int stage = 0; stage < r.max_stages; ++stage) {
     int pi = 0, ei = 0;
@@ -463,7 +490,7 @@ void residue_decode_sym(const Setup& s, const Residue& r, BitReader& br,
             int32_t bnum = r.books[(int64_t)cls * r.max_stages + stage];
             if (bnum >= 0) {
               const Codebook& book = s.books[bnum];
-              int groups = sym_groups(s, r, cls, stage);
+              int groups = r.groups_tab[(int64_t)cls * r.max_stages + stage];
               for (int g = 0; g < groups; ++g) {
                 int e = book.decode_scalar(br);
                 if (e == -1) return;  // bail: emitted ids stay (partial data)
@@ -487,14 +514,16 @@ int sym_finalize(const Setup& s, const Residue& r, const uint8_t* classes,
                  int max_ids, const SymSink& sink) {
   // prefix[(stage*eff_ch + ch)*n_part + part] = canonical slot base
   int L = r.max_stages * eff_ch * n_part;
-  std::vector<int32_t> base((size_t)L + 1, 0);
+  std::vector<int32_t>& base = scratch().base;
+  base.assign((size_t)L + 1, 0);
   int32_t acc = 0;
   for (int stg = 0; stg < r.max_stages; ++stg)
     for (int c = 0; c < eff_ch; ++c)
       for (int part = 0; part < n_part; ++part) {
         base[(size_t)(stg * eff_ch + c) * n_part + part] = acc;
         uint8_t cls = classes[(size_t)c * n_part_row + part];
-        if (cls != kClassSentinel) acc += sym_groups(s, r, cls, stg);
+        if (cls != kClassSentinel)
+          acc += r.groups_tab[(int64_t)cls * r.max_stages + stg];
       }
   base[L] = acc;
   int count = std::min(acc, max_ids);
@@ -627,17 +656,20 @@ void unpack_one_sym(const Setup& s, const uint8_t* bytes, int64_t nbytes,
     has_floor_out[c] = hf ? 1 : 0;
   }
 
-  std::vector<uint8_t> execute(has_floor_out, has_floor_out + C);
+  std::vector<uint8_t>& execute = scratch().execute;
+  execute.assign(has_floor_out, has_floor_out + C);
   for (int i = 0; i < mapping.coupling_count; ++i) {
     int m = mapping.mag[i], a = mapping.ang[i];
     if (execute[m] || execute[a]) execute[m] = execute[a] = 1;
   }
 
   const Residue& r = s.residues[mapping.submap_residue[0]];
-  std::vector<uint8_t> dnd;
+  std::vector<uint8_t>& dnd = scratch().dnd;
+  dnd.clear();
   for (int c = 0; c < C; ++c) dnd.push_back(execute[c] ? 0 : 1);
 
-  SymSink sink;
+  SymSink& sink = scratch().sink;
+  sink.entries.clear();
   residue_decode_sym(s, r, br, C, dnd, n, classes_out, n_part_max, sink);
 
   int64_t half = (r.type == 2) ? (int64_t)n * C / 2 : n / 2;
@@ -729,6 +761,12 @@ void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
     rs.cascade = &p[i]; i += rs.classifications;
     rs.books = &p[i]; i += (int64_t)rs.classifications * rs.max_stages;
     rs.decode_map = &p[i]; i += (int64_t)rs.partvals * rs.cb_dims;
+    std::vector<int32_t> gt((size_t)rs.classifications * rs.max_stages);
+    for (int cls = 0; cls < rs.classifications; ++cls)
+      for (int stg = 0; stg < rs.max_stages; ++stg)
+        gt[(size_t)cls * rs.max_stages + stg] = sym_groups(*s, rs, cls, stg);
+    s->groups_tabs.push_back(std::move(gt));
+    rs.groups_tab = s->groups_tabs.back().data();
     s->residues.push_back(rs);
   }
   for (int m = 0; m < n_mappings; ++m) {
