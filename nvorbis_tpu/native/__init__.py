@@ -184,6 +184,21 @@ def packetize(container_bytes, serial: int):
     return data, offsets, granules, flags, overhead
 
 
+def _native_table_bits() -> int:
+    """Prefix-table width for the native blob (``NVT_NATIVE_TABLE_BITS``,
+    default 10): codes up to this length decode via one table hit; longer
+    ones fall to the sorted overflow scan.  Widening to 12 was A/B'd
+    (2026-08-17) and LOST on the 8-stream host-plane workload — ~40 books
+    x 32 KB of widened tables evict more cache than the 11/12-bit
+    overflow scans cost (w10 won the adjacent pairs 872/804 and 909/779).
+    The knob stays for hardware with bigger L2 per core."""
+    v = os.environ.get("NVT_NATIVE_TABLE_BITS", "")
+    try:
+        return max(10, int(v)) if v else 10
+    except ValueError:
+        return 10
+
+
 def serialize_setup(setup, max_posts):
     """Flatten a parsed setup into (int32 blob, float32 blob).
 
@@ -211,14 +226,36 @@ def serialize_setup(setup, max_posts):
         lookup_off = len(floats)
         if has_lookup:
             floats.extend(np.asarray(b.lookup, dtype=np.float32).ravel().tolist())
+        # The Python decoder keeps the reference's 2^10 prefix table; the
+        # native blob widens it to 12 bits (when codes go longer), folding
+        # the 11/12-bit overflow codes into the table — each folded code
+        # replaces a linear scan of a 40-240-entry overflow list on every
+        # occurrence.  LSB-first codes make the widening a pure tile: index
+        # low bits select the original entry.
+        tb, overflow = b.table_bits, b._overflow
+        tv = np.asarray(b._tbl_value[: 1 << tb], dtype=np.int64)
+        tl = np.asarray(b._tbl_length[: 1 << tb], dtype=np.int64)
+        W = min(b.max_bits, _native_table_bits())
+        if W > tb:
+            reps = 1 << (W - tb)
+            tv = np.tile(tv, reps)
+            tl = np.tile(tl, reps)
+            remaining = []
+            for code, mask, length, value in overflow:
+                if length <= W:
+                    step = 1 << length
+                    tv[code::step] = value
+                    tl[code::step] = length
+                else:
+                    remaining.append((code, mask, length, value))
+            tb, overflow = W, remaining
         ints += [
-            b.dimensions, b.entries, b.table_bits, b.max_bits,
-            len(b._overflow), has_lookup, lookup_off,
+            b.dimensions, b.entries, tb, b.max_bits,
+            len(overflow), has_lookup, lookup_off,
         ]
-        size = 1 << b.table_bits
-        ints.extend(np.asarray(b._tbl_value[:size], dtype=np.int64).tolist())
-        ints.extend(np.asarray(b._tbl_length[:size], dtype=np.int64).tolist())
-        for code, mask, length, value in b._overflow:
+        ints.extend(tv.tolist())
+        ints.extend(tl.tolist())
+        for code, mask, length, value in overflow:
             ints += [code, mask, length, value]
 
     for f in setup.floors:
