@@ -197,3 +197,62 @@ def test_int16_transport_quality(monkeypatch):
     assert float(np.abs(quant - exact).max()) <= 1.0 / 32767 + 1e-6
     # and it is genuinely quantized (not the f32 path by accident)
     assert float(np.abs(quant - exact).max()) > 0
+
+
+def _corrupt_audio_packet(blob, frac, mode):
+    """Flip bits inside one mid-stream audio packet and REPAIR the page CRC,
+    so the packet reaches the codec layer and fails there (rather than the
+    container dropping the page).  mode="type" sets the packet-type bit
+    (clean "not audio" rejection); mode="payload" garbles mid-packet bytes
+    (mid-decode bail with partial data)."""
+    import struct
+
+    from nvorbis_tpu.ogg.crc import crc32
+    from nvorbis_tpu.testgen.ogg_writer import split_pages
+
+    pages = split_pages(blob)
+    k = max(2, int(len(pages) * frac))
+    while True:
+        pg = bytearray(pages[k])
+        if not (pg[5] & 0x01):  # skip continued-packet pages
+            seg = pg[26]
+            off = 27 + seg
+            if mode == "type":
+                pg[off] |= 0x01
+            else:
+                mid = off + max(4, (len(pg) - off) // 2)
+                pg[mid] ^= 0xFF
+                pg[mid + 1] ^= 0x5A
+            pg[22:26] = b"\0\0\0\0"
+            pg[22:26] = struct.pack("<I", crc32(bytes(pg)))
+            pages[k] = bytes(pg)
+            return b"".join(pages)
+        k += 1
+
+
+@pytest.mark.parametrize("mode", ["type", "payload"])
+def test_fast_planes_match_oracle_on_bad_packets(tmp_path, mode):
+    """A corrupted (CRC-valid) mid-stream packet must flow through the
+    vectorized dispatchers' scalar fallback — the drain-previous-tail
+    semantics of StreamDecoder.cs:352-356 — identically to the oracle, in
+    BOTH the bulk (single-stream read_all) and batch planes."""
+    from nvorbis_tpu.testgen.ogg_writer import make_long_stream
+
+    out = str(tmp_path / "long.ogg")
+    make_long_stream(fixture_path("3test.ogg"), 4, out)
+    blob = open(out, "rb").read()
+    blob = _corrupt_audio_packet(blob, 0.3, mode)
+    blob = _corrupt_audio_packet(blob, 0.7, mode)
+
+    ref = nv.VorbisReader(blob, engine="oracle").read_all()
+    assert len(ref) > 0
+
+    got_bulk = nv.VorbisReader(blob, engine="jax").read_all()
+    assert len(got_bulk) == len(ref)
+    tol = 5e-6 * max(1.0, float(np.abs(ref).max()))
+    assert float(np.abs(got_bulk - ref).max()) <= tol
+
+    outs = BatchDecoder([blob, blob]).decode_all()
+    for got in outs:
+        assert len(got) == len(ref)
+        assert float(np.abs(got - ref).max()) <= tol

@@ -69,13 +69,23 @@ def install_stub():
         def asarray(a):
             return np.asarray(a)
 
+    _outs = {}
+
     def _stub_program(cfg, mesh_key=None):
         C, L_pad = cfg[0], cfg[1]
         i16 = cfg[5]
         dt = np.int16 if i16 else np.float32
 
         def fn(*args):
-            return np.zeros((L_pad, C), dtype=dt)
+            # cached per shape: the real path lands fetches in RECYCLED
+            # malloc buffers (warm pages); a fresh np.zeros per chunk made
+            # the stub's emit pay first-touch faults the real path never
+            # pays, understating the ceiling
+            key = (L_pad, C, i16)
+            out = _outs.get(key)
+            if out is None:
+                out = _outs[key] = np.zeros((L_pad, C), dtype=dt)
+            return out
 
         return fn
 
