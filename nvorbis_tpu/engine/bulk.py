@@ -168,21 +168,19 @@ class StreamPlanner:
         return plan
 
 
-def plan_window(planner, start, valid, total, gran, has_gran, eos, blocks,
-                box=True):
+def plan_window(planner, start, valid, total, gran, has_gran, eos, blocks):
     """Vectorized :meth:`StreamPlanner.add` over one all-good window.
 
     Preconditions (caller guarantees ok=True and no resync for every
     packet; this function checks the rest): planner not mid-drain, eos
     only at the window's last packet, and the previous-frame tail clamp a
-    no-op everywhere.  Returns a list of FramePlan, or None when a
-    precondition fails — the caller then replays the window through the
-    sequential ``add`` loop, which owns every edge case.  With
-    ``box=False`` it returns ``(pa, samples, last_plan)`` instead — ``pa``
-    the ``[n, 5]`` int64 (ok, pos_base, start, valid, total) column view —
+    no-op everywhere.  Returns ``(pa, samples, last_plan)`` — ``pa`` the
+    ``[n, 5]`` int64 (ok, pos_base, start, valid, total) column view —
     boxing only the final FramePlan (the carry object the next window's
-    sequential path may clamp in place); per-frame object creation is pure
-    overhead for the array-consuming batch dispatcher.
+    sequential path may clamp in place); per-frame object creation is
+    pure overhead for the array-consuming dispatchers.  Returns None when
+    a precondition fails — the caller then replays the window through the
+    sequential ``add`` loop, which owns every edge case.
 
     All arithmetic mirrors ``add`` exactly: A is the cumulative sum of
     consumed spans, the end-trim uses the pre-pickup position, and the
@@ -190,8 +188,6 @@ def plan_window(planner, start, valid, total, gran, has_gran, eos, blocks,
     """
     n = len(start)
     if n == 0:
-        if box:
-            return [], np.zeros(0, dtype=np.int64)
         return np.zeros((0, 5), dtype=np.int64), np.zeros(0, np.int64), None
     if planner.prev_drained and planner.prev is not None:
         return None
@@ -261,13 +257,6 @@ def plan_window(planner, start, valid, total, gran, has_gran, eos, blocks,
     planner.first = False
     planner.eos_found |= bool(eos[n - 1])
     planner.emitted = int(A[n - 1]) + int(valid[n - 1]) - int(start[n - 1])
-    if box:
-        plans = [
-            FramePlan(True, int(A[i]), int(start[i]), int(valid[i]),
-                      int(total[i]), int(samples[i]))
-            for i in range(n)
-        ]
-        return plans, samples
     pa = np.empty((n, 5), dtype=np.int64)
     pa[:, 0] = 1
     pa[:, 1] = A

@@ -49,33 +49,6 @@ def table_for_decoder(decoder, skip_packets=3):
     return table
 
 
-def plan_job(planner, ov_tab, blk_tab, setup, meta, job, stats, last_plan):
-    """Lapping plans + stats for one pulled window.
-
-    Tries the vectorized :func:`plan_window` when every packet is good;
-    falls back to the sequential ``planner.add`` loop otherwise.  Returns
-    ``(plans, last_plan)`` — one FramePlan per packet, ok or not.
-    """
-    nj = job["n"]
-    if (job.get("gran_arr") is not None
-            and bool((meta[:nj, 0] == 1).all())):
-        mode_ids = meta[:nj, 1]
-        widx = meta[:nj, 2]
-        svt = ov_tab[mode_ids, widx]  # [n, 3] (start, valid, total)
-        res = plan_window(
-            planner, svt[:, 0], svt[:, 1], svt[:, 2],
-            job["gran_arr"], job["has_gran"], job["eos"],
-            blk_tab[mode_ids],
-        )
-        if res is not None:
-            plans, samples = res
-            bits = meta[:nj, 3].astype(np.int64)
-            totb = meta[:nj, 4].astype(np.int64)
-            stats.add_window(samples, bits, totb - bits, job["ovh_bits"])
-            return plans, plans[-1]
-    return _plan_sequential(planner, setup, meta, job, stats, last_plan)
-
-
 def plan_job_arr(planner, ov_tab, blk_tab, setup, meta, job, stats,
                  last_plan):
     """Array-first :func:`plan_job` for the batch dispatcher.
@@ -95,7 +68,7 @@ def plan_job_arr(planner, ov_tab, blk_tab, setup, meta, job, stats,
         res = plan_window(
             planner, svt[:, 0], svt[:, 1], svt[:, 2],
             job["gran_arr"], job["has_gran"], job["eos"],
-            blk_tab[mode_ids], box=False,
+            blk_tab[mode_ids],
         )
         if res is not None:
             pa, samples, lp = res
