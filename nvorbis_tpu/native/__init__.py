@@ -414,12 +414,18 @@ class NativeUnpacker:
         C, P = self.channels, self.max_posts
         n_part_max, chr_max, max_ids = self._sym_geom
 
-        classes = np.zeros((B, chr_max, n_part_max), dtype=np.uint8)
-        ids = np.zeros((B, max_ids), dtype=np.int16)
-        ys = np.zeros((B, C, P), dtype=np.int32)
-        used = np.zeros((B, C, P), dtype=np.uint8)
-        has_floor = np.zeros((B, C), dtype=np.uint8)
-        meta = np.zeros((B, 8), dtype=np.int32)
+        # np.empty, not zeros: the C++ side initializes everything a
+        # consumer may read (classes/meta are memset per row; ys/used/
+        # has_floor are written for every audio frame; ids beyond each
+        # row's meta[:,5] count are undefined by contract and rows of
+        # non-audio packets are never gathered).  Zeroing here memset
+        # ~15-20 MB per 4096-packet window for nothing.
+        classes = np.empty((B, chr_max, n_part_max), dtype=np.uint8)
+        ids = np.empty((B, max_ids), dtype=np.int16)
+        ys = np.empty((B, C, P), dtype=np.int32)
+        used = np.empty((B, C, P), dtype=np.uint8)
+        has_floor = np.empty((B, C), dtype=np.uint8)
+        meta = np.empty((B, 8), dtype=np.int32)
 
         self._lib.nvt_unpack_window_sym(
             self._handle,
