@@ -262,6 +262,48 @@ def _render_point(x0, y0, x1, y1, x):
     return y0 - off if dy < 0 else y0 + off
 
 
+def render_polyline_batch(xs_sorted, ys_rows, used_rows, n2):
+    """:func:`render_polyline` over a batch of rows sharing one X list.
+
+    ``ys_rows``/``used_rows``: ``[R, P]``.  Returns ``[R, n2]`` int64.
+    Semantically identical to R scalar calls (same closed form, same
+    clip-at-n2 slope quirk); one call replaces the per-(frame, channel)
+    python loop in the host ramp synthesis, which dominated seek cost."""
+    xs = np.asarray(xs_sorted, dtype=np.int64)
+    ys = np.asarray(ys_rows, dtype=np.int64)
+    used = np.asarray(used_rows, dtype=bool)
+    R, p = ys.shape
+    idx = np.arange(p)
+
+    left_used = np.maximum.accumulate(np.where(used, idx, -1), axis=1)
+    right_used = np.minimum.accumulate(
+        np.where(used, idx, p)[:, ::-1], axis=1
+    )[:, ::-1]
+
+    bins = np.arange(n2, dtype=np.int64)
+    interval = np.searchsorted(xs, bins, side="right") - 1  # shared X list
+    interval = np.clip(interval, 0, p - 1)
+    rowb = np.arange(R)[:, None]
+    left = left_used[rowb, interval]
+    nxt = np.minimum(interval + 1, p - 1)
+    right = np.where(interval + 1 < p, right_used[rowb, nxt], p)
+
+    lx = xs[left]
+    ly = ys[rowb, left]
+    has_right = right < p
+    r_safe = np.where(has_right, right, 0)
+    hx = xs[r_safe]
+    hy = ys[rowb, r_safe]
+    dy = hy - ly
+    adx = np.minimum(hx, n2) - lx
+    adx_safe = np.where(adx > 0, adx, 1)
+    t = bins[None, :] - lx
+    off = (t * np.abs(dy)) // adx_safe
+    y = ly + np.where(dy < 0, -off, off)
+    y = np.where(has_right & (adx > 0), y, ly)
+    return y
+
+
 def render_polyline(xs_sorted, ys_sorted, used_sorted, n2):
     """Vectorized closed form of the reference's Bresenham segment render.
 

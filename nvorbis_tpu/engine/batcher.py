@@ -228,9 +228,7 @@ class JaxPipeline:
 
     def _fill_native_host(self, window=None):
         """C++ unpack -> batched numpy synthesis, no device touch."""
-        from nvorbis_tpu.codec.floor import (
-            INVERSE_DB_TABLE, render_polyline,
-        )
+        from nvorbis_tpu.codec.floor import INVERSE_DB_TABLE
         from nvorbis_tpu.synth.oracle import imdct_basis
 
         dec = self._decoder
@@ -277,18 +275,22 @@ class JaxPipeline:
                 res_b[:, ac] = new_a
 
             # floor curves (zero when the channel has no floor energy —
-            # silence, Mapping.cs:192-196 / Floor1.cs:218-221)
+            # silence, Mapping.cs:192-196 / Floor1.cs:218-221); one batched
+            # render per channel — the per-(frame, channel) scalar loop
+            # dominated seek-ramp cost
+            from nvorbis_tpu.codec.floor import render_polyline_batch
             curves = np.zeros((b, C, n2), dtype=np.float32)
-            for k, ri in enumerate(rows):
-                for c in range(C):
-                    if not has_floor[ri, c]:
-                        continue
-                    fl = setup.floors[mapping.channel_floor[c]]
-                    p = fl.post_count
-                    yline = render_polyline(
-                        fl.xs_sorted, ys[ri, c, :p], used[ri, c, :p], n2
-                    )
-                    curves[k, c] = INVERSE_DB_TABLE[np.clip(yline, 0, 255)]
+            for c in range(C):
+                sub = np.flatnonzero(has_floor[idx, c])
+                if not len(sub):
+                    continue
+                fl = setup.floors[mapping.channel_floor[c]]
+                p = fl.post_count
+                ylines = render_polyline_batch(
+                    fl.xs_sorted, ys[idx[sub], c, :p],
+                    used[idx[sub], c, :p], n2,
+                )
+                curves[sub, c] = INVERSE_DB_TABLE[np.clip(ylines, 0, 255)]
 
             spectrum = (res_b * curves).astype(np.float64)
             pcm = spectrum.reshape(-1, n2) @ imdct_basis(n)

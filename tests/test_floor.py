@@ -75,3 +75,23 @@ def test_render_polyline_slope_clip_quirk():
     got = render_polyline(xs, ys, used, n2)
     want = _reference_apply(list(xs), list(ys), list(used), n2)
     np.testing.assert_array_equal(got, want)
+
+
+def test_render_polyline_batch_matches_scalar():
+    """The batched ramp-fill render must equal R scalar renders for any
+    post pattern, including unused posts and segments clipped at n2."""
+    import numpy as np
+
+    from nvorbis_tpu.codec.floor import render_polyline, render_polyline_batch
+
+    rng = np.random.default_rng(7)
+    xs = np.sort(rng.choice(np.arange(0, 1100), size=14, replace=False))
+    xs[0] = 0
+    for n2 in (64, 512, 1024):
+        ys_rows = rng.integers(0, 256, size=(17, 14))
+        used_rows = rng.random((17, 14)) < 0.7
+        used_rows[:, :2] = True  # root posts always used
+        got = render_polyline_batch(xs, ys_rows, used_rows, n2)
+        for r in range(17):
+            want = render_polyline(xs, ys_rows[r], used_rows[r], n2)
+            np.testing.assert_array_equal(got[r], want)
