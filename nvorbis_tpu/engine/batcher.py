@@ -63,6 +63,7 @@ class JaxPipeline:
         self._provider_done = False
         self._window = 8  # adaptive: grows toward _max_readahead
         self._synths = {}  # id(mode) -> DeviceSynth
+        self._win_stacks = {}  # id(mode) -> stacked [W, n] window table
 
         # native host plane (C++), when buildable and the setup is supported
         self._native = None
@@ -254,25 +255,16 @@ class JaxPipeline:
             res_b = residue[idx][:, :, :n2]  # [b, C, n2] f32
             b, C = res_b.shape[:2]
 
-            # inverse coupling, batched f32 (codec/frames.py semantics;
-            # do-not-decode channels carry all-zero residue, for which the
-            # transform is the identity, so no execute mask is needed)
-            for i in range(len(mapping.coupling_mag) - 1, -1, -1):
-                mc, ac = mapping.coupling_mag[i], mapping.coupling_ang[i]
-                m = res_b[:, mc]
-                a = res_b[:, ac]
-                m_pos = m > 0
-                a_pos = a > 0
-                new_m = np.where(
-                    m_pos, np.where(a_pos, m, m + a),
-                    np.where(a_pos, m, m - a),
-                )
-                new_a = np.where(
-                    m_pos, np.where(a_pos, m - a, m),
-                    np.where(a_pos, m + a, m),
-                )
-                res_b[:, mc] = new_m
-                res_b[:, ac] = new_a
+            # inverse coupling: the oracle's in-place [C, ...] transform
+            # broadcasts over the batch via a channel-first view.  Execute
+            # every step: do-not-decode channels carry all-zero residue,
+            # for which the transform is the identity (frames.py skips
+            # them only to save work on its single-frame path)
+            from nvorbis_tpu.codec.frames import apply_inverse_coupling
+
+            apply_inverse_coupling(
+                res_b.transpose(1, 0, 2), mapping, [True] * C
+            )
 
             # floor curves (zero when the channel has no floor energy —
             # silence, Mapping.cs:192-196 / Floor1.cs:218-221); one batched
@@ -295,7 +287,10 @@ class JaxPipeline:
             spectrum = (res_b * curves).astype(np.float64)
             pcm = spectrum.reshape(-1, n2) @ imdct_basis(n)
             pcm = pcm.astype(np.float32).reshape(b, C, n)
-            wins = np.stack(mode.windows)[meta[idx, 2]]  # [b, n] f32
+            win_tab = self._win_stacks.get(id(mode))
+            if win_tab is None:
+                win_tab = self._win_stacks[id(mode)] = np.stack(mode.windows)
+            wins = win_tab[meta[idx, 2]]  # [b, n] f32
             pcm *= wins[:, None, :]
             for k, ri in enumerate(rows):
                 results[ri].pcm = pcm[k]
@@ -380,24 +375,12 @@ class JaxPipeline:
         """Window fill via the C++ host plane: one unpack call, one device
         dispatch per mode present.  Output semantics identical to the
         Python path (bit-exact dense tensors; see tests/test_native.py)."""
-        from nvorbis_tpu.stream_decoder import _PacketResult
-
         dec = self._decoder
         setup = dec._setup
         window = self._window
         self._window = min(self._max_readahead, window * 4)
 
-        packets = []
-        raw = []
-        while len(packets) < window:
-            packet = dec._packet_provider.get_next_packet()
-            if packet is None:
-                self._provider_done = True
-                break
-            packets.append(packet)
-            raw.append(bytes(packet.data))
-            if packet.is_end_of_stream:
-                break
+        packets, raw = self._pull_packets(window)
         if not packets:
             return []
 
@@ -411,32 +394,7 @@ class JaxPipeline:
         used = used.astype(bool)
         has_floor = has_floor.astype(bool)
 
-        results = []
-        buckets = {}  # mode_idx -> list of result_index
-        for i, packet in enumerate(packets):
-            res = _PacketResult()
-            res.is_end_of_stream = packet.is_end_of_stream
-            res.is_resync = packet.is_resync
-            res.container_overhead_bits = packet.container_overhead_bits
-            status = int(meta[i, 0])
-            total_bits = int(meta[i, 4])
-            if status != 1:
-                # not an audio packet / malformed: same bit accounting as
-                # StreamDecoder._unpack_packet_result on a None frame
-                res.bits_remaining = total_bits
-                results.append(res)
-                packet.done()
-                continue
-            mode_idx = int(meta[i, 1])
-            window_index = int(meta[i, 2])
-            mode = setup.modes[mode_idx]
-            res.start, res.valid, res.total = mode.overlaps[window_index]
-            res.granule_pos = packet.granule_position
-            res.bits_read = int(meta[i, 3])
-            res.bits_remaining = total_bits - res.bits_read
-            results.append(res)
-            buckets.setdefault(mode_idx, []).append(i)
-            packet.done()
+        results, buckets = self._results_from_meta(packets, meta, setup)
 
         for mode_idx, rows in buckets.items():
             mode = setup.modes[mode_idx]

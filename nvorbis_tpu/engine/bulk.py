@@ -608,6 +608,15 @@ class BulkDecoder:
             ])
         finally:
             pool.shutdown(wait=False)
+            if self._worker is not None and self._mode_tbl:
+                # release this decode's device-resident tables in the
+                # worker child (every chunk referencing them has resolved
+                # or been abandoned by now); without this a long-lived
+                # process decoding many files accumulated tables in child
+                # HBM and tbl-*.bin files in the RAM-backed spool forever
+                for refs in self._mode_tbl.values():
+                    self._worker.drop_tables(refs[0][1])
+                self._mode_tbl.clear()
 
     def _dispatch_chunk(self, residue, ys, used, has_floor, meta, pa,
                         carry, chunk_base, chunk_end):

@@ -252,13 +252,25 @@ class DeviceWorker:
 
     Single consumer, FIFO: results arrive in submission order.  All
     submitted-but-unresolved chunks (their spool slots persist) and every
-    registered table are kept so a respawned child can replay them."""
+    registered table are kept so a respawned child can replay them.
+
+    Thread model: exactly ONE thread may call :meth:`result` (the decode
+    planes' single fetch worker), while :meth:`submit` /
+    :meth:`register_tables` / :meth:`drop_tables` may run concurrently on
+    the main thread.  ``_lock`` serializes every connection write and the
+    respawn/replay transition against submits — without it a watchdog
+    respawn closing the connection mid-``send`` crashed the very
+    wedge-recovery path it implements, or replayed a chunk the submitter
+    was still queueing (double send).  Only the result thread ever
+    ``recv``s or respawns, so reads need no lock."""
 
     MAX_RESPAWNS = 5
 
     def __init__(self):
         import tempfile
+        import threading
 
+        self._lock = threading.Lock()
         self._seq = 0
         self._spool = tempfile.mkdtemp(prefix="nvt-dw-",
                                        dir=_spool_dir_base())
@@ -266,7 +278,8 @@ class DeviceWorker:
         self._outstanding = {}  # seq -> (kind, cfg, spec, l_fetch, nbytes)
         self._order = []        # submission order of unresolved seqs
         self._results = {}      # seq -> np array
-        self._respawns = 0
+        self._respawns = 0        # consecutive failures (reset on result)
+        self._total_respawns = 0  # lifetime stat (tests/observability)
         self._fresh = True      # no result received from this child yet
         self._proc = None
         self._conn = None
@@ -366,14 +379,19 @@ class DeviceWorker:
 
     def register_tables(self, key, arrays):
         """Ship device-resident constant tables (numpy) via the spool."""
-        metas = _write_arrays(
-            os.path.join(self._spool, f"tbl-{key}.bin"), arrays
-        )
-        self._tables[key] = metas
-        self._conn.send(("tables", key, metas))
+        with self._lock:
+            metas = _write_arrays(
+                os.path.join(self._spool, f"tbl-{key}.bin"), arrays
+            )
+            self._tables[key] = metas
+            self._conn.send(("tables", key, metas))
 
     def drop_tables(self, key):
         """Release a group's tables (call once its chunks are resolved)."""
+        with self._lock:
+            return self._drop_tables_locked(key)
+
+    def _drop_tables_locked(self, key):
         self._tables.pop(key, None)
         try:
             os.unlink(os.path.join(self._spool, f"tbl-{key}.bin"))
@@ -389,25 +407,26 @@ class DeviceWorker:
 
         ``spec`` entries are ("a", np_array) or ("t", key, i); the arrays
         are spooled to the chunk's ring slot and replaced by file metas."""
-        seq = self._seq
-        self._seq += 1
-        if self._order and seq - self._order[0] >= RING:
-            raise RuntimeError(
-                f"device worker in-flight window exceeded {RING} chunks"
-            )
-        arrays = [e[1] for e in spec if e[0] == "a"]
-        metas = iter(_write_arrays(
-            os.path.join(self._spool, f"arg-{seq % RING}.bin"), arrays
-        ))
-        wire_spec = [
-            e if e[0] == "t" else ("f",) + tuple(next(metas))
-            for e in spec
-        ]
-        self._outstanding[seq] = (kind, cfg, wire_spec, l_fetch,
-                                  result_bytes)
-        self._order.append(seq)
-        self._conn.send(("chunk", seq, kind, cfg, wire_spec, l_fetch))
-        return seq
+        with self._lock:
+            seq = self._seq
+            self._seq += 1
+            if self._order and seq - self._order[0] >= RING:
+                raise RuntimeError(
+                    f"device worker in-flight window exceeded {RING} chunks"
+                )
+            arrays = [e[1] for e in spec if e[0] == "a"]
+            metas = iter(_write_arrays(
+                os.path.join(self._spool, f"arg-{seq % RING}.bin"), arrays
+            ))
+            wire_spec = [
+                e if e[0] == "t" else ("f",) + tuple(next(metas))
+                for e in spec
+            ]
+            self._outstanding[seq] = (kind, cfg, wire_spec, l_fetch,
+                                      result_bytes)
+            self._order.append(seq)
+            self._conn.send(("chunk", seq, kind, cfg, wire_spec, l_fetch))
+            return seq
 
     def result(self, seq):
         """Block for chunk ``seq``'s PCM under the wedge watchdog.
@@ -424,15 +443,16 @@ class DeviceWorker:
             # MAX_RESPAWNS
             import subprocess
 
-            self._proc.kill()
-            try:
-                self._proc.wait(timeout=10)
-            except subprocess.TimeoutExpired:
-                pass
-            self._conn.close()
-            self._spawn()
-            self._bytes_since_spawn = 0
-            self._replay()
+            with self._lock:
+                self._proc.kill()
+                try:
+                    self._proc.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    pass
+                self._conn.close()
+                self._spawn()
+                self._bytes_since_spawn = 0
+                self._replay()
         while seq not in self._results:
             nbytes = self._outstanding[self._order[0]][4]
             timeout = _chunk_timeout(nbytes, self._fresh)
@@ -451,6 +471,7 @@ class DeviceWorker:
                 continue
             # watchdog expiry or dead child
             self._respawns += 1
+            self._total_respawns += 1
             if self._respawns > self.MAX_RESPAWNS:
                 self._proc.kill()
                 raise TimeoutError(
@@ -466,34 +487,42 @@ class DeviceWorker:
                 f"{len(self._order)} chunk(s)",
                 RuntimeWarning, stacklevel=2,
             )
-            self._proc.kill()
-            try:
-                self._proc.wait(timeout=10)
-            except subprocess.TimeoutExpired:
-                pass
-            self._conn.close()
-            self._spawn()
-            self._replay()
+            with self._lock:
+                self._proc.kill()
+                try:
+                    self._proc.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    pass
+                self._conn.close()
+                self._spawn()
+                self._replay()
         return self._results.pop(seq)
 
     def _handle(self, msg):
         tag = msg[0]
         if tag == "ok":
             _, seq, dtype_str, shape = msg
-            self._fresh = False
-            self._results[seq] = _read_array(
-                os.path.join(self._spool, f"res-{seq % RING}.bin"),
-                0, dtype_str, shape,
-            )
-            self._bytes_since_spawn += self._results[seq].nbytes
-            self._outstanding.pop(seq, None)
-            if seq in self._order:
-                self._order.remove(seq)
+            with self._lock:
+                self._fresh = False
+                # consecutive-failure semantics: a recovered wedge that is
+                # making progress again must not count toward the lifetime
+                # respawn budget (sessions wedge as a function of bytes
+                # moved — a multi-hour decode can see several, hours apart)
+                self._respawns = 0
+                self._results[seq] = _read_array(
+                    os.path.join(self._spool, f"res-{seq % RING}.bin"),
+                    0, dtype_str, shape,
+                )
+                self._bytes_since_spawn += self._results[seq].nbytes
+                self._outstanding.pop(seq, None)
+                if seq in self._order:
+                    self._order.remove(seq)
         elif tag == "err":
             _, seq, text = msg
-            self._outstanding.pop(seq, None)
-            if seq in self._order:
-                self._order.remove(seq)
+            with self._lock:
+                self._outstanding.pop(seq, None)
+                if seq in self._order:
+                    self._order.remove(seq)
             raise RuntimeError(f"device worker chunk failed:\n{text}")
 
 

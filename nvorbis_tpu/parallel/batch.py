@@ -313,6 +313,12 @@ class BatchDecoder:
             if self._unpack_pool is not None:
                 self._unpack_pool.shutdown(wait=False)
                 self._unpack_pool = None
+            if self._worker is not None and self._tkey is not None:
+                # a group that raised mid-decode (e.g. a worker chunk
+                # error) skipped its normal drop; dropping an
+                # already-dropped key is a no-op, so always sweep here
+                self._worker.drop_tables(self._tkey)
+                self._tkey = None
 
         # clipping happened on-device (program epilogue) or inside the
         # fallback reader — no whole-output host pass here
@@ -518,6 +524,7 @@ class BatchDecoder:
             # all chunks resolved (pending drained above): release this
             # group's device-resident tables in the worker
             self._worker.drop_tables(self._tkey)
+            self._tkey = None
 
         for st in members:
             dec = st.decoder
@@ -1060,3 +1067,4 @@ class BatchDecoder:
 
     _stream_slot = None  # set in decode_all per group
     _unpack_pool = None  # persistent C++-unpack thread pool (decode_all)
+    _tkey = None         # current group's worker table key (leak sweep)

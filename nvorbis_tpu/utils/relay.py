@@ -19,18 +19,36 @@ import sys
 
 _RELAY_ADDR = ("127.0.0.1", 8082)
 
+# short-TTL probe memo, keyed by address: every VorbisReader/BatchDecoder
+# construction consults the guard, and a service opening dozens of readers
+# against a SYN-dropping relay would otherwise pay the full connect
+# timeout per reader.  The TTL is short because the answer legitimately
+# changes mid-process (relay phases) and a stale True reintroduces the
+# hang this module exists to prevent.
+_probe_cache = {}
+_PROBE_TTL = 5.0
+
 
 def tpu_link_alive(timeout: float = 3.0) -> bool:
     """One cheap TCP probe of the relay; True if it accepts connections."""
+    import time
+
+    addr = _RELAY_ADDR
+    hit = _probe_cache.get(addr)
+    now = time.monotonic()
+    if hit is not None and now - hit[0] < _PROBE_TTL:
+        return hit[1]
     s = socket.socket()
     s.settimeout(timeout)
     try:
-        s.connect(_RELAY_ADDR)
-        return True
+        s.connect(addr)
+        ok = True
     except OSError:
-        return False
+        ok = False
     finally:
         s.close()
+    _probe_cache[addr] = (now, ok)
+    return ok
 
 
 def relay_configured() -> bool:

@@ -72,7 +72,9 @@ def test_worker_survives_wedge(worker_env, monkeypatch):
     with pytest.warns(RuntimeWarning, match="respawning"):
         outs = _decode_worker([raw])
     worker = device_worker._worker
-    assert worker is not None and worker._respawns >= 1
+    assert worker is not None and worker._total_respawns >= 1
+    # consecutive-failure counter must have reset on the recovery
+    assert worker._respawns == 0
     assert not worker._outstanding  # every chunk resolved
 
     ref = nv.VorbisReader(FIX_SMALL, engine="oracle").read_all()
