@@ -148,3 +148,25 @@ def test_worker_mode_auto_detection(monkeypatch):
     monkeypatch.delenv("NVT_FETCH_WORKER", raising=False)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     assert worker_mode_enabled() is False
+
+
+def test_worker_tables_released(worker_env):
+    """Device-resident tables must not accumulate in the worker child
+    across decodes: BatchDecoder drops its group key after decode_all and
+    BulkDecoder drops its per-mode tables after read_all — a long-lived
+    process decoding many files previously leaked both (child HBM + the
+    RAM-backed spool grew forever)."""
+    from nvorbis_tpu.engine import device_worker
+
+    raw = open(FIX, "rb").read()
+    _decode_worker([raw])
+    worker = device_worker._worker
+    assert worker is not None
+    assert not worker._tables, "BatchDecoder left tables registered"
+
+    r = nv.VorbisReader(FIX)
+    out = r.read_all()
+    assert len(out) > 0
+    worker = device_worker._worker
+    assert worker is not None
+    assert not worker._tables, "BulkDecoder left tables registered"
