@@ -256,3 +256,27 @@ def test_fast_planes_match_oracle_on_bad_packets(tmp_path, mode):
     for got in outs:
         assert len(got) == len(ref)
         assert float(np.abs(got - ref).max()) <= tol
+
+
+def test_fast_planes_bad_packets_51_coupled(tmp_path):
+    """Same bad-packet drain parity on a coupled 5.1 Residue2 synthetic:
+    the no-energy/coupling interaction after a drained frame is the
+    topology the stereo fixture never exercises."""
+    from nvorbis_tpu.testgen.vorbis_writer import make_simple_spec
+
+    spec = make_simple_spec(channels=6, sample_rate=48000, residue_type=2,
+                            couplings=[(0, 1), (2, 3), (4, 5)])
+    blob = spec.build_stream(np.random.default_rng(11), 120)
+    blob = _corrupt_audio_packet(blob, 0.5, "payload")
+
+    ref = nv.VorbisReader(blob, engine="oracle").read_all()
+    assert len(ref) > 0
+
+    got_bulk = nv.VorbisReader(blob, engine="jax").read_all()
+    assert len(got_bulk) == len(ref)
+    tol = 5e-6 * max(1.0, float(np.abs(ref).max()))
+    assert float(np.abs(got_bulk - ref).max()) <= tol
+
+    (got_batch,) = BatchDecoder([blob]).decode_all()
+    assert len(got_batch) == len(ref)
+    assert float(np.abs(got_batch - ref).max()) <= tol
