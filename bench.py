@@ -433,6 +433,11 @@ _CFG_FNS = {
 
 # configs that never touch the relay: run even when it is down/dead-slow
 _RELAY_FREE = {"host_ceiling"}
+# host-capable configs: engine="auto" falls back to the numpy oracle when
+# the relay is dead (tests/test_relay_guard.py), so these still measure a
+# legitimate (host-plane) value — a 2-hour relay outage was observed
+# mid-round; skipping them zeroed coverage for nothing
+_RELAY_FREE |= {"decode_1test_wav", "chained_seek"}
 
 # required remaining budget before *starting* a config (expensive ones can
 # overrun an external timeout by minutes in a slow relay phase).  Cheap
