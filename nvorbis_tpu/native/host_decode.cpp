@@ -505,6 +505,63 @@ void residue_decode_sym(const Setup& s, const Residue& r, BitReader& br,
   }
 }
 
+// Single-effective-channel specialization (residue type 2 — all coupled
+// content, the dominant case): within a stage the canonical
+// (stage, ch=0, part) order IS the bitstream decode order, so ids write
+// straight into their canonical slots as they decode — no sink buffer, no
+// finalize scatter.  Bails leave a contiguous written prefix [0, w); the
+// caller fills [w, count) with -1.  groups_tab==0 already encodes every
+// skip case (cascade bit off, no book), matching the general path's bit
+// consumption exactly.
+int residue_decode_sym_direct(const Setup& s, const Residue& r,
+                              BitReader& br, int ch, int block_size,
+                              uint8_t* classes_out, int16_t* ids_out,
+                              int max_ids) {
+  int64_t half = (int64_t)block_size * ch / 2;  // type 2 layout
+  int end = (int)std::min<int64_t>(r.end, half);
+  int n = end - r.begin;
+  if (n <= 0) return 0;
+  int psize = r.partition_size;
+  int partitions = n / psize;
+  const Codebook& cb = s.books[r.classbook];
+  int cb_dims = r.cb_dims;
+  int part_words = (partitions + cb_dims - 1) / cb_dims;
+
+  std::vector<const int32_t*>& cache = scratch().cache;
+  cache.assign((size_t)part_words, nullptr);
+
+  int w = 0;
+  for (int stage = 0; stage < r.max_stages; ++stage) {
+    int pi = 0, ei = 0;
+    while (pi < partitions) {
+      if (stage == 0) {
+        int idx = cb.decode_scalar(br);
+        if (idx < 0 || idx >= r.partvals) return w;  // bail, keep prefix
+        const int32_t* row = &r.decode_map[(int64_t)idx * cb_dims];
+        cache[ei] = row;
+        for (int d = 0; d < cb_dims && pi + d < partitions; ++d)
+          classes_out[pi + d] = (uint8_t)row[d];
+      }
+      for (int d = 0; d < cb_dims && pi < partitions; ++d, ++pi) {
+        int cls = cache[ei][d];
+        int groups = r.groups_tab[(int64_t)cls * r.max_stages + stage];
+        if (groups) {
+          const Codebook& book =
+              s.books[r.books[(int64_t)cls * r.max_stages + stage]];
+          for (int g = 0; g < groups; ++g) {
+            int e = book.decode_scalar(br);
+            if (e == -1) return w;  // bail, keep prefix
+            if (w < max_ids) ids_out[w] = (int16_t)e;
+            ++w;
+          }
+        }
+      }
+      ++ei;
+    }
+  }
+  return w;
+}
+
 // Scatter buffered ids into the canonical (stage, ch, part)-major layout.
 // Returns the layout size (total slots derived from classes); ids beyond
 // max_ids are dropped (callers size max_ids from the setup so this cannot
@@ -668,16 +725,34 @@ void unpack_one_sym(const Setup& s, const uint8_t* bytes, int64_t nbytes,
   dnd.clear();
   for (int c = 0; c < C; ++c) dnd.push_back(execute[c] ? 0 : 1);
 
-  SymSink& sink = scratch().sink;
-  sink.entries.clear();
-  residue_decode_sym(s, r, br, C, dnd, n, classes_out, n_part_max, sink);
-
   int64_t half = (r.type == 2) ? (int64_t)n * C / 2 : n / 2;
   int eff_ch = (r.type == 2) ? 1 : C;
   int end = (int)std::min<int64_t>(r.end, half);
   int n_part = std::max(0, (end - r.begin) / r.partition_size);
-  int count = sym_finalize(s, r, classes_out, eff_ch, n_part, n_part_max,
-                           ids_out, max_ids, sink);
+  int count;
+  bool all_dnd = true;
+  for (int c = 0; c < C; ++c) all_dnd &= (dnd[c] != 0);
+  if (eff_ch == 1) {
+    int w = 0;
+    if (!all_dnd)
+      w = residue_decode_sym_direct(s, r, br, C, n, classes_out, ids_out,
+                                    max_ids);
+    int64_t acc = 0;  // slot count from the (possibly partial) classes
+    for (int stg = 0; stg < r.max_stages; ++stg)
+      for (int part = 0; part < n_part; ++part) {
+        uint8_t cls = classes_out[part];
+        if (cls != kClassSentinel)
+          acc += r.groups_tab[(int64_t)cls * r.max_stages + stg];
+      }
+    count = (int)std::min<int64_t>(acc, max_ids);
+    for (int i = w; i < count; ++i) ids_out[i] = -1;
+  } else {
+    SymSink& sink = scratch().sink;
+    sink.entries.clear();
+    residue_decode_sym(s, r, br, C, dnd, n, classes_out, n_part_max, sink);
+    count = sym_finalize(s, r, classes_out, eff_ch, n_part, n_part_max,
+                         ids_out, max_ids, sink);
+  }
 
   meta[0] = 1;
   meta[1] = mode_idx;
