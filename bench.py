@@ -397,7 +397,7 @@ def cfg_host_ceiling():
     env.pop("NVT_BENCH_CHILD", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "tools", "host_ceiling.py"),
-         "8", "32", "4"],
+         "8", "32", "6"],
         env=env, capture_output=True, text=True, timeout=420,
     )
     value = None
