@@ -1,0 +1,386 @@
+"""Host engine: full-stream decode with NO device (and no jax) anywhere.
+
+``engine="host"`` — and ``engine="auto"`` whenever touching the jax backend
+is unsafe (dead tunnel relay) or the device sits behind the tunnel relay
+(measured: the host plane sustains hundreds of x realtime while the relay
+wire caps at 20-125x for stereo f32; NOTES.md rounds 3-4) — decodes
+through:
+
+1. the C++ unpacker's dense plane (``native/__init__.py:unpack_view``):
+   Ogg packet bytes -> residue ``[B, C, n2]`` f32 + floor posts, one call
+   per ~4096-frame chunk;
+2. batched numpy synthesis: inverse coupling, vectorized floor polyline
+   render, and an O(n log n) IMDCT via DCT-IV (scipy's pocketfft) in place
+   of the oracle's O(n^2/2) matmul — the mapping is exact (verified at
+   1e-13 relative against the basis matmul, tests/test_host_engine.py);
+3. host overlap-add over the shared segment-table formulation
+   (``engine/plan.build_segments`` — the same tiling the device planes
+   gather through), written directly into the interleaved output buffer.
+
+This module and everything it imports MUST stay jax-free: the relay-down
+``engine="auto"`` promise is that no code path can reach jax backend init
+(which hangs forever on a dead tunnel — the round-1 0.0-artifact class).
+tests/test_host_engine.py decodes with ``import jax`` blocked to pin this.
+
+Parity: outputs match the numpy oracle at <= 2e-6 absolute (same bound the
+device planes are tested to).  The default DCT-IV runs in float32 (measured
+max abs error 2e-7 vs the f64 path on decode-scale spectra);
+``NVT_HOST_F64=1`` selects the float64 transform.
+
+Reference behavior anchors: NVorbis/StreamDecoder.cs:320-541 (read loop,
+lapping, trim), NVorbis/Mapping.cs:95-198 (synthesis order),
+NVorbis/Mdct.cs:65-313 (the reference's own O(n log n) IMDCT).
+"""
+
+import os
+
+import numpy as np
+
+from nvorbis_tpu.engine.plan import (
+    CAP_PER_SIZE,
+    CHUNK_FRAMES,
+    StreamPlanner,
+    build_segments,
+    peek_mode_index,
+)
+
+try:  # scipy is a hard dependency of jax, so it is always present in this
+    # image; the guard keeps the module importable in minimal environments
+    # (the matmul fallback is the oracle's exact transform)
+    from scipy.fft import dct as _dct4
+except Exception:  # pragma: no cover
+    _dct4 = None
+
+
+def _f64_enabled() -> bool:
+    return bool(os.environ.get("NVT_HOST_F64"))
+
+
+def imdct_rows(spec: np.ndarray, n: int) -> np.ndarray:
+    """IMDCT of ``[R, n/2]`` -> ``[R, n]`` float32 via a length-n/2 DCT-IV.
+
+    The Vorbis I transform (synth/oracle.py:imdct_basis)
+
+        y[i] = sum_k X[k] cos(pi/(2n) (2i+1+n/2) (2k+1))
+
+    restricted to m = i + n/4 is exactly DCT-IV_{n/2}(X)[m], and the
+    remaining output range folds back by the transform's symmetries
+    g[m+n] = -g[m], g[n-1-m] = -g[m]:
+
+        y[i] = g[i+n4]          i in [0, n4)
+        y[i] = -g[3*n4-1-i]     i in [n4, 3*n4)   (g reversed)
+        y[i] = -g[i-3*n4]       i in [3*n4, n)
+
+    with n4 = n/4.  Verified exact (1e-13 relative) against the basis
+    matmul for every block size (tests/test_host_engine.py).
+    """
+    n2 = n // 2
+    n4 = n // 4
+    if _dct4 is None:  # pragma: no cover - scipy ships with jax
+        from nvorbis_tpu.synth.oracle import imdct_basis
+
+        return (spec.astype(np.float64) @ imdct_basis(n)).astype(np.float32)
+    if _f64_enabled():
+        g = _dct4(spec.astype(np.float64), type=4, axis=-1)
+    else:
+        g = _dct4(spec, type=4, axis=-1)
+    y = np.empty((spec.shape[0], n), dtype=g.dtype)
+    y[:, :n4] = g[:, n4:n2]
+    y[:, n4 : 3 * n4] = -g[:, ::-1]
+    y[:, 3 * n4 :] = -g[:, :n4]
+    # the DCT-IV is 2x the mathematical sum (pocketfft convention); fold
+    # the 0.5 into the output cast
+    y *= 0.5
+    return y.astype(np.float32, copy=False)
+
+
+class HostSynth:
+    """Per-setup synthesis caches for the host engine."""
+
+    def __init__(self, setup):
+        self.setup = setup
+        self._win_stacks = {}  # mode idx -> [W, n] f32 window table
+
+    def windows_for(self, mode_idx):
+        tab = self._win_stacks.get(mode_idx)
+        if tab is None:
+            tab = np.stack(self.setup.modes[mode_idx].windows)
+            self._win_stacks[mode_idx] = tab
+        return tab
+
+    def synthesize(self, mode_idx, res_b, ys_b, used_b, hf_b, widx_b):
+        """Batched synthesis of one mode bucket.
+
+        ``res_b``: ``[b, C, n2]`` f32 raw residue (owned; mutated in
+        place).  Returns windowed PCM ``[b, C, n]`` f32.  Pipeline order
+        per NVorbis/Mapping.DecodePacket (95-198): inverse coupling,
+        floor curve multiply, IMDCT, window — identical to
+        synth/oracle.py:synthesize_frame batched over frames.
+        """
+        from nvorbis_tpu.codec.floor import (
+            INVERSE_DB_TABLE,
+            render_polyline_batch,
+        )
+        from nvorbis_tpu.codec.frames import apply_inverse_coupling
+
+        setup = self.setup
+        mode = setup.modes[mode_idx]
+        mapping = mode.mapping
+        n = mode.block_size
+        n2 = n // 2
+        b, C = res_b.shape[:2]
+
+        # inverse coupling: the oracle's in-place [C, ...] transform
+        # broadcasts over the batch via a channel-first view.  Execute
+        # every step: do-not-decode channels carry all-zero residue, for
+        # which the transform is the identity
+        apply_inverse_coupling(res_b.transpose(1, 0, 2), mapping, [True] * C)
+
+        # floor curves multiplied in place per channel; channels with no
+        # floor energy are silence (Mapping.cs:192-196, Floor1.cs:218-221)
+        for c in range(C):
+            hf = hf_b[:, c]
+            sub = np.flatnonzero(hf)
+            if len(sub) < b:
+                res_b[~hf.astype(bool), c] = 0.0
+            if not len(sub):
+                continue
+            fl = setup.floors[mapping.channel_floor[c]]
+            p = fl.post_count
+            ylines = render_polyline_batch(
+                fl.xs_sorted, ys_b[sub, c, :p], used_b[sub, c, :p], n2
+            )
+            res_b[sub, c] *= INVERSE_DB_TABLE[np.clip(ylines, 0, 255)]
+
+        pcm = imdct_rows(res_b.reshape(b * C, n2), n).reshape(b, C, n)
+        win_tab = self.windows_for(mode_idx)
+        pcm *= win_tab[widx_b][:, None, :]
+        return pcm
+
+
+def _overlap_add(out, rows_all, n_max, s, prim, sec, sl, L_real):
+    """Overlap-add one chunk's segments into ``out`` (``[L, C]`` view).
+
+    Segments tile ``[0, L_real)`` contiguously (engine/plan.build_segments);
+    ``prim``/``sec`` are flat element indices ``row * n_max + offset`` into
+    ``rows_all`` ``[rows, C, n_max]``.  Consecutive same-shape segments
+    (the overwhelmingly common case: runs of equal-size frames) vectorize
+    into one strided copy + one strided add per run.
+    """
+    nseg = len(s)
+    if nseg == 0:
+        return
+    lens = np.empty(nseg, np.int64)
+    if nseg > 1:
+        np.subtract(s[1:], s[:-1], out=lens[:-1])
+    lens[-1] = L_real - s[-1]
+
+    if nseg > 1:
+        has2 = sl > 0
+        brk = lens[1:] != lens[:-1]
+        brk |= (prim[1:] - prim[:-1]) != n_max
+        brk |= sl[1:] != sl[:-1]
+        brk |= has2[1:] != has2[:-1]
+        brk |= ((sec[1:] - sec[:-1]) != n_max) & has2[1:]
+        starts = np.concatenate(([0], np.flatnonzero(brk) + 1))
+    else:
+        starts = np.zeros(1, np.int64)
+    ends = np.append(starts[1:], nseg)
+
+    for a, e in zip(starts, ends):
+        L = int(lens[a])
+        if L <= 0:
+            continue
+        R = int(e - a)
+        r0, off = divmod(int(prim[a]), n_max)
+        s0 = int(s[a])
+        ov = out[s0 : s0 + R * L].reshape(R, L, -1)
+        ov[:] = rows_all[r0 : r0 + R, :, off : off + L].transpose(0, 2, 1)
+        slv = int(sl[a])
+        if slv:
+            sr0, soff = divmod(int(sec[a]), n_max)
+            ov[:, :slv, :] += rows_all[
+                sr0 : sr0 + R, :, soff : soff + slv
+            ].transpose(0, 2, 1)
+
+
+class HostBulkDecoder:
+    """Chunked whole-stream decoder: C++ unpack + numpy synthesis + host
+    overlap-add.  The host twin of engine/bulk.BulkDecoder — same packet
+    pull, same lapping planner, same segment formulation — with the fused
+    XLA program replaced by :class:`HostSynth` and the device fetch by a
+    direct write into the interleaved output buffer."""
+
+    def __init__(self, decoder, native):
+        self._dec = decoder
+        self._native = native
+        self._last_plan = None
+        self._synth = HostSynth(decoder._setup)
+
+    def run(self):
+        """Decode the remainder of the stream; returns interleaved float32
+        (unclipped, like BulkDecoder.run — the caller clips)."""
+        from nvorbis_tpu.ogg.fast_packets import (
+            PacketTableCursor,
+            plan_job_arr,
+            table_for_decoder,
+        )
+        from nvorbis_tpu.utils.profiling import span
+
+        dec = self._dec
+        setup = dec._setup
+        C = setup.channels
+        planner = StreamPlanner(dec._current_position)
+
+        mfb = setup.mode_field_bits
+        n_modes = len(setup.modes)
+        n_max = setup.block1_size
+
+        cursor = None
+        table = table_for_decoder(dec)
+        if table is not None:
+            cursor = PacketTableCursor(table)
+        w_max = max(len(m.overlaps) for m in setup.modes)
+        ov_tab = np.zeros((n_modes, w_max, 3), dtype=np.int64)
+        blk_tab = np.zeros(n_modes, dtype=np.int64)
+        for mi, m in enumerate(setup.modes):
+            blk_tab[mi] = m.block_size
+            for wi, svt in enumerate(m.overlaps):
+                ov_tab[mi, wi] = svt
+
+        # output: preallocate from the stream's final granule when the
+        # packet table knows it (end trim only shrinks); otherwise grow
+        pcm = None
+        if table is not None:
+            gran, fl = table[2], table[3]
+            with_g = gran[(fl & 2) != 0]
+            if len(with_g):
+                bound = int(with_g[-1]) + setup.block1_size
+                pcm = np.empty((bound, C), dtype=np.float32)
+        chunks = [] if pcm is None else None
+
+        carry = None  # (pcm row [C, n_max] f32, FramePlan) of last good frame
+        chunk_base = 0
+        provider_done = False
+        while not provider_done:
+            if cursor is not None:
+                size_counts = {}
+                job = cursor.pull(
+                    setup, blk_tab, CHUNK_FRAMES, size_counts, CAP_PER_SIZE
+                )
+                provider_done = cursor.done
+                if job is None:
+                    break
+                with span("host.unpack"):
+                    residue, ys, used, has_floor, meta = (
+                        self._native.unpack_view(*job["view"])
+                    )
+            else:
+                packets = []
+                raw = []
+                size_counts = {}
+                while len(packets) < CHUNK_FRAMES:
+                    p = dec._packet_provider.get_next_packet()
+                    if p is None:
+                        provider_done = True
+                        break
+                    packets.append(p)
+                    data = bytes(p.data)
+                    raw.append(data)
+                    mi = peek_mode_index(data, mfb)
+                    if mi is not None and mi < n_modes:
+                        bsz = setup.modes[mi].block_size
+                        size_counts[bsz] = size_counts.get(bsz, 0) + 1
+                        if size_counts[bsz] >= CAP_PER_SIZE:
+                            break
+                if not packets:
+                    break
+                with span("host.unpack"):
+                    residue, ys, used, has_floor, meta = (
+                        self._native.unpack(raw)
+                    )
+                job = {
+                    "n": len(packets),
+                    "granules": [p.granule_position for p in packets],
+                    "eos": [p.is_end_of_stream for p in packets],
+                    "resync": [p.is_resync for p in packets],
+                    "ovh_bits": [p.container_overhead_bits for p in packets],
+                }
+            used = used.astype(bool)
+            has_floor = has_floor.astype(bool)
+            pa, plans, self._last_plan = plan_job_arr(
+                planner, ov_tab, blk_tab, setup, meta, job,
+                dec._stats, self._last_plan,
+            )
+            if cursor is None:
+                for p in packets:
+                    p.done()
+
+            nF = pa.shape[0]
+            ok = pa[:, 0] == 1
+            rof = np.arange(nF, dtype=np.int64)
+
+            # synthesize every good frame, bucketed by mode, into a flat
+            # row space (row nF = the carry frame from the previous chunk)
+            rows_all = np.empty((nF + 1, C, n_max), dtype=np.float32)
+            with span("host.synth"):
+                if ok.any():
+                    mode_r = meta[:nF, 1].astype(np.int64)
+                    for m in np.unique(mode_r[ok]):
+                        idx = np.flatnonzero(ok & (mode_r == m))
+                        n = setup.modes[int(m)].block_size
+                        out_b = self._synth.synthesize(
+                            int(m),
+                            residue[idx][:, :, : n // 2],
+                            ys[idx], used[idx], has_floor[idx],
+                            meta[idx, 2].astype(np.int64),
+                        )
+                        rows_all[idx, :, :n] = out_b
+                if carry is not None:
+                    rows_all[nF] = carry[0]
+
+            prev_plan = carry[1] if carry is not None else None
+            L_real = planner.emitted - chunk_base
+            if L_real > 0:
+                c_s, c_prim, c_sec, c_sl = build_segments(
+                    pa, rof, n_max, prev_plan, nF, chunk_base
+                )
+                if pcm is not None:
+                    if chunk_base + L_real > pcm.shape[0]:
+                        # stream outran the granule-derived bound
+                        # (malformed granules); grow with slack
+                        grown = np.empty(
+                            (chunk_base + L_real + n_max, C), np.float32
+                        )
+                        grown[: pcm.shape[0]] = pcm
+                        pcm = grown
+                    out = pcm[chunk_base : chunk_base + L_real]
+                else:
+                    out = np.empty((L_real, C), dtype=np.float32)
+                    chunks.append(out)
+                with span("host.ola"):
+                    _overlap_add(
+                        out, rows_all, n_max, c_s, c_prim, c_sec, c_sl,
+                        L_real,
+                    )
+                chunk_base = planner.emitted
+
+            good = np.flatnonzero(ok)
+            if len(good):
+                lg = int(good[-1])
+                carry = (
+                    rows_all[lg].copy(),
+                    plans[lg] if plans is not None else self._last_plan,
+                )
+
+        dec._eos_found = True
+        dec._prev_buf = None
+        dec._prev_start = dec._prev_end = dec._prev_stop = 0
+        dec._current_position = planner.stream_pos0 + planner.emitted
+        dec._has_position = planner.has_position
+
+        if pcm is not None:
+            return pcm[: max(0, planner.emitted)].reshape(-1)
+        if not chunks:
+            return np.zeros(0, dtype=np.float32)
+        return np.concatenate([c.reshape(-1) for c in chunks])

@@ -13,7 +13,7 @@ recovery semantics.
 
 import numpy as np
 
-from nvorbis_tpu.engine.bulk import peek_mode_index, plan_window
+from nvorbis_tpu.engine.plan import peek_mode_index, plan_window
 from nvorbis_tpu.native import PKT_EOS, PKT_HAS_GRANULE, packetize
 
 
