@@ -152,7 +152,15 @@ class HostSynth:
             )
             res_b[sub, c] *= INVERSE_DB_TABLE[np.clip(ylines, 0, 255)]
 
-        pcm = imdct_rows(res_b.reshape(b * C, n2), n).reshape(b, C, n)
+        return self.synthesize_spec(mode_idx, res_b, widx_b)
+
+    def synthesize_spec(self, mode_idx, spec_b, widx_b):
+        """IMDCT + window over ready spectra (the C++ spectrum-mode output
+        of native/__init__.py:unpack_spec_view, bit-identical to the
+        coupling + floor-multiply stages above)."""
+        n = self.setup.modes[mode_idx].block_size
+        b, C = spec_b.shape[:2]
+        pcm = imdct_rows(spec_b.reshape(b * C, n // 2), n).reshape(b, C, n)
         win_tab = self.windows_for(mode_idx)
         pcm *= win_tab[widx_b][:, None, :]
         return pcm
@@ -216,6 +224,23 @@ class HostBulkDecoder:
         self._native = native
         self._last_plan = None
         self._synth = HostSynth(decoder._setup)
+        # spectrum mode: coupling + floor render fused into the C++ unpack
+        # (bit-identical to the Python stages — tests/test_host_engine.py);
+        # NVT_HOST_NO_SPEC=1 pins the Python path for A/Bs and tests
+        self._spec = (
+            getattr(native, "has_spec", False)
+            and not os.environ.get("NVT_HOST_NO_SPEC")
+        )
+        # fused lane: DCT-IV in scipy, then ONE C++ pass mapping the DCT
+        # output to IMDCT order, windowing and scattering into the row
+        # space (nvt_imdct_finish), and one C++ overlap-add (nvt_ola) —
+        # numerically identical to the numpy lane (same f32 ops: *0.5 is
+        # exact, multiplies cannot FP-contract), which stays as the
+        # NVT_HOST_NO_SPEC/NVT_HOST_F64 testing path
+        self._fused = (
+            self._spec and _dct4 is not None and not _f64_enabled()
+            and hasattr(getattr(native, "_lib", None), "nvt_imdct_finish")
+        )
 
     def run(self):
         """Decode the remainder of the stream; returns interleaved float32
@@ -272,9 +297,15 @@ class HostBulkDecoder:
                 if job is None:
                     break
                 with span("host.unpack"):
-                    residue, ys, used, has_floor, meta = (
-                        self._native.unpack_view(*job["view"])
-                    )
+                    if self._spec:
+                        residue, meta = self._native.unpack_spec_view(
+                            *job["view"]
+                        )
+                        ys = used = has_floor = None
+                    else:
+                        residue, ys, used, has_floor, meta = (
+                            self._native.unpack_view(*job["view"])
+                        )
             else:
                 packets = []
                 raw = []
@@ -296,9 +327,13 @@ class HostBulkDecoder:
                 if not packets:
                     break
                 with span("host.unpack"):
-                    residue, ys, used, has_floor, meta = (
-                        self._native.unpack(raw)
-                    )
+                    if self._spec:
+                        residue, meta = self._native.unpack_spec(raw)
+                        ys = used = has_floor = None
+                    else:
+                        residue, ys, used, has_floor, meta = (
+                            self._native.unpack(raw)
+                        )
                 job = {
                     "n": len(packets),
                     "granules": [p.granule_position for p in packets],
@@ -306,8 +341,9 @@ class HostBulkDecoder:
                     "resync": [p.is_resync for p in packets],
                     "ovh_bits": [p.container_overhead_bits for p in packets],
                 }
-            used = used.astype(bool)
-            has_floor = has_floor.astype(bool)
+            if not self._spec:
+                used = used.astype(bool)
+                has_floor = has_floor.astype(bool)
             pa, plans, self._last_plan = plan_job_arr(
                 planner, ov_tab, blk_tab, setup, meta, job,
                 dec._stats, self._last_plan,
@@ -329,12 +365,34 @@ class HostBulkDecoder:
                     for m in np.unique(mode_r[ok]):
                         idx = np.flatnonzero(ok & (mode_r == m))
                         n = setup.modes[int(m)].block_size
-                        out_b = self._synth.synthesize(
-                            int(m),
-                            residue[idx][:, :, : n // 2],
-                            ys[idx], used[idx], has_floor[idx],
-                            meta[idx, 2].astype(np.int64),
-                        )
+                        if self._fused:
+                            g = _dct4(
+                                residue[idx, :, : n // 2].reshape(
+                                    -1, n // 2
+                                ),
+                                type=4, axis=-1,
+                            )
+                            widx = np.ascontiguousarray(meta[idx, 2])
+                            win_tab = self._synth.windows_for(int(m))
+                            self._native._lib.nvt_imdct_finish(
+                                g.ctypes.data, len(idx), C, n,
+                                idx.ctypes.data, widx.ctypes.data,
+                                win_tab.ctypes.data, rows_all.ctypes.data,
+                                n_max,
+                            )
+                            continue
+                        widx = meta[idx, 2].astype(np.int64)
+                        if self._spec:
+                            out_b = self._synth.synthesize_spec(
+                                int(m), residue[idx][:, :, : n // 2], widx
+                            )
+                        else:
+                            out_b = self._synth.synthesize(
+                                int(m),
+                                residue[idx][:, :, : n // 2],
+                                ys[idx], used[idx], has_floor[idx],
+                                widx,
+                            )
                         rows_all[idx, :, :n] = out_b
                 if carry is not None:
                     rows_all[nF] = carry[0]
@@ -359,10 +417,26 @@ class HostBulkDecoder:
                     out = np.empty((L_real, C), dtype=np.float32)
                     chunks.append(out)
                 with span("host.ola"):
-                    _overlap_add(
-                        out, rows_all, n_max, c_s, c_prim, c_sec, c_sl,
-                        L_real,
-                    )
+                    if self._fused:
+                        nseg = len(c_s)
+                        lens = np.empty(nseg, np.int64)
+                        if nseg:
+                            if nseg > 1:
+                                np.subtract(
+                                    c_s[1:], c_s[:-1], out=lens[:-1]
+                                )
+                            lens[-1] = L_real - c_s[-1]
+                            self._native._lib.nvt_ola(
+                                rows_all.ctypes.data, n_max, C,
+                                c_s.ctypes.data, c_prim.ctypes.data,
+                                c_sec.ctypes.data, c_sl.ctypes.data,
+                                lens.ctypes.data, nseg, out.ctypes.data,
+                            )
+                    else:
+                        _overlap_add(
+                            out, rows_all, n_max, c_s, c_prim, c_sec,
+                            c_sl, L_real,
+                        )
                 chunk_base = planner.emitted
 
             good = np.flatnonzero(ok)

@@ -24,7 +24,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "host_decode.cpp")
 _SO = os.path.join(_DIR, "_host_decode.so")
 
-_MAGIC = 0x4E565431
+_MAGIC = 0x4E565432
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -109,6 +109,40 @@ def load():
                 ctypes.c_void_p,  # has_floor
                 ctypes.c_void_p,  # meta
                 ctypes.c_int32,   # n_threads
+            ]
+            lib.nvt_unpack_window_spec.argtypes = [
+                ctypes.c_void_p,  # setup
+                ctypes.c_void_p,  # bytes
+                ctypes.c_void_p,  # offsets
+                ctypes.c_int32,   # n_packets
+                ctypes.c_void_p,  # spec
+                ctypes.c_void_p,  # meta
+                ctypes.c_int32,   # n_threads
+            ]
+            lib.nvt_has_spec.restype = ctypes.c_int32
+            lib.nvt_has_spec.argtypes = [ctypes.c_void_p]
+            lib.nvt_imdct_finish.argtypes = [
+                ctypes.c_void_p,  # g
+                ctypes.c_int64,   # b
+                ctypes.c_int32,   # C
+                ctypes.c_int32,   # n
+                ctypes.c_void_p,  # idx
+                ctypes.c_void_p,  # widx
+                ctypes.c_void_p,  # win_tab
+                ctypes.c_void_p,  # rows_all
+                ctypes.c_int64,   # n_max
+            ]
+            lib.nvt_ola.argtypes = [
+                ctypes.c_void_p,  # rows_all
+                ctypes.c_int64,   # n_max
+                ctypes.c_int32,   # C
+                ctypes.c_void_p,  # s
+                ctypes.c_void_p,  # prim
+                ctypes.c_void_p,  # sec
+                ctypes.c_void_p,  # sl
+                ctypes.c_void_p,  # lens
+                ctypes.c_int64,   # nseg
+                ctypes.c_void_p,  # out
             ]
             lib.nvt_crc32.restype = ctypes.c_uint32
             lib.nvt_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -214,11 +248,19 @@ def serialize_setup(setup, max_posts):
     book_index = {id(b): i for i, b in enumerate(setup.codebooks)}
 
     block0, block1 = setup.block0_size, setup.block1_size
+    # the Vorbis I inverse-dB table travels in the float blob so the
+    # spectrum-mode unpack (floor render + multiply fused in C++, consumed
+    # by engine/host.py) uses the exact same 256 constants as
+    # codec/floor.py — float-bit-identical curves
+    from nvorbis_tpu.codec.floor import INVERSE_DB_TABLE
+
+    inv_db_off = len(floats)
+    floats.extend(np.asarray(INVERSE_DB_TABLE, dtype=np.float32).tolist())
     ints += [
         _MAGIC, setup.channels, setup.mode_field_bits,
         len(setup.codebooks), len(setup.floors), len(setup.residues),
         len(setup.mappings), len(setup.modes),
-        max_posts, block0, block1, block1 // 2,
+        max_posts, block0, block1, block1 // 2, inv_db_off,
     ]
 
     for b in setup.codebooks:
@@ -226,12 +268,13 @@ def serialize_setup(setup, max_posts):
         lookup_off = len(floats)
         if has_lookup:
             floats.extend(np.asarray(b.lookup, dtype=np.float32).ravel().tolist())
-        # The Python decoder keeps the reference's 2^10 prefix table; the
-        # native blob widens it to 12 bits (when codes go longer), folding
-        # the 11/12-bit overflow codes into the table — each folded code
-        # replaces a linear scan of a 40-240-entry overflow list on every
-        # occurrence.  LSB-first codes make the widening a pure tile: index
-        # low bits select the original entry.
+        # Both decoders keep the reference's 2^10 prefix table by default
+        # (widening to 12 bits LOST its A/B — cache pollution beat the
+        # saved overflow scans; NOTES round 3).  The folding below only
+        # activates when NVT_NATIVE_TABLE_BITS raises the width: each
+        # folded code then replaces a linear overflow-list scan, and
+        # LSB-first codes make the widening a pure tile (index low bits
+        # select the original entry).
         tb, overflow = b.table_bits, b._overflow
         tv = np.asarray(b._tbl_value[: 1 << tb], dtype=np.int64)
         tl = np.asarray(b._tbl_length[: 1 << tb], dtype=np.int64)
@@ -388,6 +431,47 @@ class NativeUnpacker:
             n_threads,
         )
         return residue, ys, used, has_floor, meta
+
+    @property
+    def has_spec(self) -> bool:
+        """True when the spectrum-mode unpack is available for this setup."""
+        return bool(self._lib.nvt_has_spec(self._handle))
+
+    def unpack_spec(self, packets, n_threads=0):
+        """Spectrum-mode unpack: ready-to-IMDCT rows (engine/host.py).
+
+        Returns (spec ``[B, C, n2max]`` f32, meta ``[B, 8]`` i32): residue
+        decode, inverse coupling and the floor curve multiply all run in
+        C++ (NVorbis/Mapping.DecodePacket:95-198 minus the transform).
+        """
+        B = len(packets)
+        offsets = np.zeros(B + 1, dtype=np.int64)
+        for i, pk in enumerate(packets):
+            offsets[i + 1] = offsets[i] + len(pk)
+        data = b"".join(packets)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        return self.unpack_spec_view(buf, offsets, n_threads)
+
+    def unpack_spec_view(self, buf, offsets, n_threads=0):
+        """Zero-copy variant of :meth:`unpack_spec` (see unpack_sym_view).
+
+        np.empty is safe: the C++ side memsets every row a consumer may
+        read ([0, n2) of audio frames; non-audio rows are never gathered).
+        """
+        B = len(offsets) - 1
+        C, n2 = self.channels, self.n2max
+        spec = np.empty((B, C, n2), dtype=np.float32)
+        meta = np.empty((B, 8), dtype=np.int32)
+        self._lib.nvt_unpack_window_spec(
+            self._handle,
+            buf.ctypes.data,
+            offsets.ctypes.data,
+            B,
+            spec.ctypes.data,
+            meta.ctypes.data,
+            n_threads,
+        )
+        return spec, meta
 
     def unpack_sym(self, packets, n_threads=0):
         """Symbol-mode unpack: residues as classes + canonical entry ids.

@@ -135,6 +135,7 @@ struct Floor1 {
   const int32_t* l_neigh;          // [post_count]
   const int32_t* h_neigh;          // [post_count]
   const int32_t* sort_idx;         // [post_count]
+  const int32_t* xs_sorted;        // [post_count] (derived at setup_create)
 };
 
 struct Residue {
@@ -174,9 +175,11 @@ struct Setup {
   std::vector<float> blob_f;
   std::vector<std::vector<int64_t>> tbl_packs;  // per-book packed prefix
   std::vector<std::vector<int32_t>> groups_tabs;  // per-residue (see Residue)
+  std::vector<std::vector<int32_t>> xs_sorteds;   // per-floor sorted x lists
+  const float* inv_db;  // [256] Vorbis I inverse-dB table (spec mode)
 };
 
-constexpr int32_t kMagic = 0x4E565431;  // "NVT1"
+constexpr int32_t kMagic = 0x4E565432;  // "NVT2"
 
 // ------------------------------------------------ residue symbol buffering
 
@@ -203,6 +206,8 @@ struct Scratch {
   std::vector<int32_t> base;
   std::vector<int> posts;
   std::vector<uint8_t> execute, dnd;
+  std::vector<int32_t> spec_ys;          // spectrum mode: floor posts stay
+  std::vector<uint8_t> spec_used;        // thread-local, never leave
 };
 inline Scratch& scratch() {
   static thread_local Scratch sc;
@@ -670,6 +675,165 @@ void unpack_one(const Setup& s, const uint8_t* bytes, int64_t nbytes,
   (void)n2;
 }
 
+// ------------------------------------------------------- spectrum mode
+
+// Multiply one channel's floor curve into its residue row, fusing the
+// polyline render (exact integer form of codec/floor.py:render_polyline —
+// same enclosing-used-post pairs, same min(hx, n2) slope clip quirk,
+// Floor1.Apply + RenderLineMulti, NVorbis/Floor1.cs:186-222, 316-341) with
+// the inverse-dB lookup and the spectrum multiply
+// (NVorbis/Mapping.cs:184-191).  Posts arrive in sorted-x order
+// (floor1_unpack applies sort_idx; ys are post-multiplier).
+void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
+                 const uint8_t* used, int n2, float* row) {
+  int p = f.post_count;
+  const int32_t* xs = f.xs_sorted;
+  int prev = -1;
+  int x_cursor = 0;
+  for (int i = 0; i < p && x_cursor < n2; ++i) {
+    if (!used[i]) continue;
+    if (prev < 0) {
+      prev = i;
+      continue;  // xs_sorted[0] == 0 and post 0 is always used when the
+                 // floor decoded, so no bins precede the first used post
+    }
+    int lx = xs[prev];
+    int64_t ly = ys[prev];
+    int hx = xs[i];
+    int64_t dy = (int64_t)ys[i] - ly;
+    int64_t ady = dy < 0 ? -dy : dy;
+    int end = hx < n2 ? hx : n2;
+    int64_t adx = (int64_t)end - lx;  // min(hx, n2) - lx: the clip quirk
+    int x = lx > x_cursor ? lx : x_cursor;
+    if (adx > 0) {
+      for (; x < end; ++x) {
+        int64_t off = (int64_t)(x - lx) * ady / adx;
+        int64_t y = ly + (dy < 0 ? -off : off);
+        y = y < 0 ? 0 : (y > 255 ? 255 : y);
+        row[x] *= inv_db[y];
+      }
+    } else {
+      int64_t y = ly < 0 ? 0 : (ly > 255 ? 255 : ly);
+      for (; x < end; ++x) row[x] *= inv_db[y];
+    }
+    if (end > x_cursor) x_cursor = end;
+    prev = i;
+  }
+  if (prev >= 0 && x_cursor < n2) {
+    // bins at/after the last used post hold its y
+    int64_t y = ys[prev] < 0 ? 0 : (ys[prev] > 255 ? 255 : ys[prev]);
+    for (int x = x_cursor; x < n2; ++x) row[x] *= inv_db[y];
+  }
+}
+
+// Spectrum-mode variant of unpack_one: emits the ready-to-IMDCT spectrum
+// (residue decode -> inverse coupling -> floor multiply, the full
+// NVorbis/Mapping.DecodePacket:95-198 pipeline minus the transform).  The
+// host engine (engine/host.py) feeds these rows straight into its DCT-IV.
+// Floor posts stay in per-thread scratch; only spec + meta leave.
+void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
+                     float* spec_out,  // [C, n2max]
+                     int32_t* meta) {
+  int C = s.channels;
+  int P = s.max_posts;
+  BitReader br(bytes, nbytes);
+  std::memset(meta, 0, sizeof(int32_t) * 8);
+  meta[4] = (int32_t)br.nbits;
+
+  if (br.read_bit()) {
+    meta[0] = 0;
+    meta[3] = (int32_t)br.pos;
+    return;
+  }
+  int mode_idx = (int)br.read(s.mode_field_bits);
+  if (mode_idx >= (int)s.modes.size() || br.is_short) {
+    meta[0] = -1;
+    meta[3] = (int32_t)br.pos;
+    return;
+  }
+  const Mode& mode = s.modes[mode_idx];
+  int window_index = 0;
+  if (mode.block_flag) {
+    bool prev_flag = br.read_bit();
+    bool next_flag = br.read_bit();
+    window_index = (prev_flag ? 1 : 0) + (next_flag ? 2 : 0);
+  }
+  const Mapping& mapping = s.mappings[mode.mapping_idx];
+  int n = mode.block_size;
+  int n2 = n / 2;
+
+  Scratch& sc = scratch();
+  sc.spec_ys.assign((size_t)C * P, 0);
+  sc.spec_used.assign((size_t)C * P, 0);
+  sc.execute.assign(C, 0);
+  for (int c = 0; c < C; ++c) {
+    const Floor1& f = s.floors[mapping.submap_floor[mapping.mux[c]]];
+    sc.execute[c] = floor1_unpack(s, f, br, &sc.spec_ys[(size_t)c * P],
+                                  &sc.spec_used[(size_t)c * P], P)
+                        ? 1 : 0;
+    std::memset(spec_out + (int64_t)c * s.n2max, 0, sizeof(float) * n2);
+  }
+  std::vector<uint8_t> has_floor(sc.execute.begin(), sc.execute.end());
+
+  // coupling no-energy propagation (NVorbis/Mapping.cs:112-119)
+  for (int i = 0; i < mapping.coupling_count; ++i) {
+    int m = mapping.mag[i], a = mapping.ang[i];
+    if (sc.execute[m] || sc.execute[a]) sc.execute[m] = sc.execute[a] = 1;
+  }
+
+  for (int i = 0; i < mapping.submap_count; ++i) {
+    std::vector<float*> bufs;
+    std::vector<uint8_t> dnd;
+    for (int c = 0; c < C; ++c) {
+      if (mapping.mux[c] == i) {
+        bufs.push_back(&spec_out[(int64_t)c * s.n2max]);
+        dnd.push_back(sc.execute[c] ? 0 : 1);
+      }
+    }
+    const Residue& r = s.residues[mapping.submap_residue[i]];
+    residue_decode(s, r, br, bufs, dnd, n);
+  }
+
+  // inverse square-polar coupling, reverse step order, exact float ops
+  // (NVorbis/Mapping.cs:137-182; codec/frames.py:apply_inverse_coupling)
+  for (int i = mapping.coupling_count - 1; i >= 0; --i) {
+    int m = mapping.mag[i], a = mapping.ang[i];
+    if (!(sc.execute[m] || sc.execute[a])) continue;
+    float* rm = &spec_out[(int64_t)m * s.n2max];
+    float* ra = &spec_out[(int64_t)a * s.n2max];
+    for (int x = 0; x < n2; ++x) {
+      float M = rm[x], A = ra[x], nm, na;
+      if (M > 0.0f) {
+        if (A > 0.0f) { nm = M; na = M - A; }
+        else          { nm = M + A; na = M; }
+      } else {
+        if (A > 0.0f) { nm = M; na = M + A; }
+        else          { nm = M - A; na = M; }
+      }
+      rm[x] = nm; ra[x] = na;
+    }
+  }
+
+  // floor multiply; channels without their own floor energy are silence
+  // even when coupling forced their residue (Mapping.cs:192-196,
+  // Floor1.cs:218-221)
+  for (int c = 0; c < C; ++c) {
+    float* row = &spec_out[(int64_t)c * s.n2max];
+    if (!has_floor[c]) {
+      std::memset(row, 0, sizeof(float) * n2);
+      continue;
+    }
+    const Floor1& f = s.floors[mapping.submap_floor[mapping.mux[c]]];
+    floor_apply(f, s.inv_db, &sc.spec_ys[(size_t)c * P],
+                &sc.spec_used[(size_t)c * P], n2, row);
+  }
+
+  meta[0] = 1;
+  meta[1] = mode_idx;
+  meta[2] = window_index;
+  meta[3] = (int32_t)br.pos;
+}
+
 // Symbol-mode variant of unpack_one: floors as usual, residues emitted as
 // classes + canonical ids (single-submap setups only; the caller gates).
 // meta[5] = id count (canonical layout size).
@@ -771,7 +935,7 @@ extern "C" {
 // handled natively (e.g. contains a Floor0).
 void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
                        int64_t nf) {
-  if (ni < 12 || blob_i[0] != kMagic) return nullptr;
+  if (ni < 13 || blob_i[0] != kMagic) return nullptr;
   Setup* s = new Setup();
   s->blob_i.assign(blob_i, blob_i + ni);
   s->blob_f.assign(blob_f, blob_f + nf);
@@ -790,6 +954,9 @@ void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
   s->block0 = p[i++];
   s->block1 = p[i++];
   s->n2max = p[i++];
+  int64_t inv_db_off = p[i++];  // index into blob_f; -1 = absent
+  s->inv_db = (inv_db_off >= 0 && inv_db_off + 256 <= nf)
+                  ? &fp[inv_db_off] : nullptr;
 
   for (int b = 0; b < n_books; ++b) {
     Codebook cb;
@@ -825,6 +992,10 @@ void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
     fl.l_neigh = &p[i]; i += fl.post_count;
     fl.h_neigh = &p[i]; i += fl.post_count;
     fl.sort_idx = &p[i]; i += fl.post_count;
+    std::vector<int32_t> xs((size_t)fl.post_count);
+    for (int k = 0; k < fl.post_count; ++k) xs[k] = fl.x_list[fl.sort_idx[k]];
+    s->xs_sorteds.push_back(std::move(xs));
+    fl.xs_sorted = s->xs_sorteds.back().data();
     s->floors.push_back(fl);
   }
   for (int r = 0; r < n_residues; ++r) {
@@ -907,6 +1078,107 @@ void nvt_unpack_window(void* setup, const uint8_t* bytes,
     });
   }
   for (auto& th : threads) th.join();
+}
+
+// Spectrum-mode window unpack: one ready-to-IMDCT [C, n2] f32 row set per
+// packet (unpack_one_spec).  Unlike nvt_unpack_window the outputs need NOT
+// be zero-initialized (rows are memset here, cache-warm).  Requires the
+// blob to carry the inverse-dB table (inv_db_off >= 0).
+void nvt_unpack_window_spec(void* setup, const uint8_t* bytes,
+                            const int64_t* offsets, int32_t n_packets,
+                            float* spec,     // [n_packets, C, n2max]
+                            int32_t* meta,   // [n_packets, 8]
+                            int32_t n_threads) {
+  Setup* s = (Setup*)setup;
+  int C = s->channels;
+  int64_t n2max = s->n2max;
+
+  auto work = [&](int k) {
+    unpack_one_spec(*s, bytes + offsets[k], offsets[k + 1] - offsets[k],
+                    spec + (int64_t)k * C * n2max, meta + (int64_t)k * 8);
+  };
+
+  int hw = (int)std::thread::hardware_concurrency();
+  int nt = n_threads > 0 ? n_threads : std::max(1, std::min(hw, 16));
+  nt = std::min(nt, n_packets);
+  if (nt <= 1) {
+    for (int k = 0; k < n_packets; ++k) work(k);
+    return;
+  }
+  std::atomic<int> next(0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&]() {
+      for (;;) {
+        int k = next.fetch_add(1);
+        if (k >= n_packets) break;
+        work(k);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// has the spectrum-mode entry point (and the blob carried inv_db)?
+int32_t nvt_has_spec(void* setup) {
+  return ((Setup*)setup)->inv_db != nullptr ? 1 : 0;
+}
+
+// Finish one mode bucket's IMDCT from its DCT-IV half: map the length-n/2
+// DCT-IV output g to the length-n IMDCT by the transform symmetries
+// (engine/host.py:imdct_rows — y[i] = g[i+n4] / -g[3n4-1-i] / -g[i-3n4]),
+// fold the pocketfft 2x convention (*0.5, exact) and the window multiply,
+// and scatter the rows into the flat row space at idx[j] — one pass where
+// the numpy formulation took five (map, scale, reshape, window, scatter).
+void nvt_imdct_finish(const float* g,        // [b, C, n/2] DCT-IV rows
+                      int64_t b, int32_t C, int32_t n,
+                      const int64_t* idx,    // [b] destination frame rows
+                      const int32_t* widx,   // [b] window index per frame
+                      const float* win_tab,  // [W, n]
+                      float* rows_all,       // [rows, C, n_max]
+                      int64_t n_max) {
+  int n2 = n / 2, n4 = n / 4;
+  for (int64_t j = 0; j < b; ++j) {
+    const float* w = win_tab + (int64_t)widx[j] * n;
+    for (int c = 0; c < C; ++c) {
+      const float* gr = g + (j * C + c) * n2;
+      float* dst = rows_all + (idx[j] * C + c) * n_max;
+      for (int i = 0; i < n4; ++i)
+        dst[i] = (gr[n4 + i] * 0.5f) * w[i];
+      for (int i = n4; i < 3 * n4; ++i)
+        dst[i] = (-gr[3 * n4 - 1 - i] * 0.5f) * w[i];
+      for (int i = 3 * n4; i < n; ++i)
+        dst[i] = (-gr[i - 3 * n4] * 0.5f) * w[i];
+    }
+  }
+}
+
+// Host overlap-add: write the chunk's lapped segments into the interleaved
+// output (engine/plan.build_segments coordinates; the numpy twin is
+// engine/host.py:_overlap_add, kept as the no-native testing lane).
+void nvt_ola(const float* rows_all,  // [rows, C, n_max]
+             int64_t n_max, int32_t C,
+             const int64_t* s, const int64_t* prim, const int64_t* sec,
+             const int64_t* sl, const int64_t* lens, int64_t nseg,
+             float* out) {            // [L, C] interleaved
+  for (int64_t k = 0; k < nseg; ++k) {
+    int64_t L = lens[k];
+    if (L <= 0) continue;
+    float* o = out + s[k] * C;
+    int64_t pr = prim[k], r = pr / n_max, off = pr % n_max;
+    for (int c = 0; c < C; ++c) {
+      const float* p = rows_all + (r * C + c) * n_max + off;
+      for (int64_t t = 0; t < L; ++t) o[t * C + c] = p[t];
+    }
+    int64_t S = sl[k];
+    if (S > 0) {
+      int64_t sc = sec[k], r2 = sc / n_max, off2 = sc % n_max;
+      for (int c = 0; c < C; ++c) {
+        const float* p = rows_all + (r2 * C + c) * n_max + off2;
+        for (int64_t t = 0; t < S; ++t) o[t * C + c] += p[t];
+      }
+    }
+  }
 }
 
 // Ogg CRC-32 (poly 0x04c11db7, non-reflected, init 0) — table-driven.
