@@ -219,16 +219,21 @@ class JaxPipeline:
         Routes through the C++ unpacker + dense numpy synthesis when the
         native plane exists — one unpack call for the whole window instead
         of the ≤32 per-packet Python Huffman walks that dominated seek
-        profiles (~60% of each seek, NOTES round 2) — and falls back to the
-        per-packet oracle fill otherwise.  Outputs are bit-identical to the
-        oracle fill: same f32 coupling, f32 curve multiply, f64 IMDCT
-        matmul, f32 window multiply (synth/oracle.py)."""
+        profiles (~60% of each seek, NOTES round 2) — and falls back to
+        the per-packet oracle fill otherwise.  Numerics match the oracle
+        fill to the 5e-6 parity tolerance (see _fill_native_host)."""
         if self._native is None:
             return self._fill_oracle(window)
         return self._fill_native_host(window)
 
     def _fill_native_host(self, window=None):
-        """C++ unpack -> batched numpy synthesis, no device touch."""
+        """C++ unpack -> batched numpy synthesis, no device touch.
+
+        Output matches the oracle fill bit-for-bit in practice on the
+        tested fixtures (same f32 coupling, f32 curve multiply, f64 IMDCT
+        matmul, f32 window multiply); the guaranteed bound is the 5e-6
+        parity tolerance — the batched [b*C, n2] dgemm is not formally
+        row-identical to the oracle's per-channel products."""
         from nvorbis_tpu.codec.floor import INVERSE_DB_TABLE
         from nvorbis_tpu.synth.oracle import imdct_basis
 
@@ -431,3 +436,34 @@ class JaxPipeline:
                 results[ri]._lazy = (batch, slot)
 
         return results
+
+
+class HostPipeline(JaxPipeline):
+    """Streaming pipeline that never touches jax (``engine="host"``).
+
+    Same read-ahead window machinery as :class:`JaxPipeline` in host-only
+    mode — C++ unpack + batched numpy synthesis per window
+    (``_fill_native_host``) — but constructed without importing jax or any
+    device plane, so it is safe when the jax backend would hang (dead
+    tunnel relay) and in environments without jax at all
+    (tests/test_host_engine.py decodes with ``import jax`` blocked).
+    Bulk decode (``decode_all``) routes to engine/host.HostBulkDecoder.
+
+    Raises when the native plane is unavailable for this setup (Floor0 /
+    NVT_NO_NATIVE); the caller degrades to the oracle pipeline, which is
+    equally jax-free.
+    """
+
+    def __init__(self, decoder, readahead: int = 2048):
+        from nvorbis_tpu.native import NativeUnpacker
+
+        self._decoder = decoder
+        self._max_readahead = readahead
+        self._queue = deque()
+        self._pending = None
+        self._provider_done = False
+        self._window = 8
+        self._synths = {}
+        self._win_stacks = {}
+        self._native = NativeUnpacker(decoder._setup, decoder._max_posts)
+        self._host_only = True

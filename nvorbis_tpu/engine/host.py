@@ -219,9 +219,10 @@ class HostBulkDecoder:
     XLA program replaced by :class:`HostSynth` and the device fetch by a
     direct write into the interleaved output buffer."""
 
-    def __init__(self, decoder, native):
+    def __init__(self, decoder, native, table=None):
         self._dec = decoder
         self._native = native
+        self._table = table  # pre-built packet table (parallel/batch.py)
         self._last_plan = None
         self._synth = HostSynth(decoder._setup)
         # spectrum mode: coupling + floor render fused into the C++ unpack
@@ -262,7 +263,9 @@ class HostBulkDecoder:
         n_max = setup.block1_size
 
         cursor = None
-        table = table_for_decoder(dec)
+        table = self._table if self._table is not None else (
+            table_for_decoder(dec)
+        )
         if table is not None:
             cursor = PacketTableCursor(table)
         w_max = max(len(m.overlaps) for m in setup.modes)

@@ -170,12 +170,24 @@ class BatchDecoder:
     identical (to float rounding) to that source's single-stream decode.
     """
 
-    def __init__(self, sources, mesh=None, clip_samples=True):
+    def __init__(self, sources, mesh=None, clip_samples=True,
+                 engine: str = "auto"):
         import nvorbis_tpu as nv
         from nvorbis_tpu.native import NativeUnpacker
-        from nvorbis_tpu.utils.jaxinit import ensure_compile_cache
 
-        ensure_compile_cache()
+        # engine="host" (or auto's tunnel-relay/dead-relay policy,
+        # utils/relay.host_engine_preferred) decodes every stream on the
+        # host engine — no jax import, no backend touch, no co-batching
+        # (there is no dispatch overhead to amortize host-side)
+        from nvorbis_tpu.utils.relay import host_engine_preferred
+
+        self._host_mode = engine == "host" or (
+            engine == "auto" and mesh is None and host_engine_preferred()
+        )
+        if not self._host_mode:
+            from nvorbis_tpu.utils.jaxinit import ensure_compile_cache
+
+            ensure_compile_cache()
         self.clip_samples = clip_samples
         self._mesh_key = None
         if mesh is not None:
@@ -294,6 +306,8 @@ class BatchDecoder:
                 modes_key, sym_key)
 
     def decode_all(self):
+        if self._host_mode:
+            return self._decode_all_host()
         groups = defaultdict(list)
         for st in self._streams:
             if st.native is None:
@@ -330,6 +344,37 @@ class BatchDecoder:
                 pcm = st.out[0] if len(st.out) == 1 else np.concatenate(st.out)
             else:
                 pcm = np.zeros(0, dtype=np.float32)
+            results.append(pcm)
+            st.reader.dispose()
+        return results
+
+    def _decode_all_host(self):
+        """Host-engine decode of every stream (no jax, no co-batching).
+
+        Sequential per-stream host bulk decode — host-side there is no
+        dispatch/transfer overhead for co-batching to amortize, so N
+        streams decode at the single-stream host rate.  Streams without a
+        native plane (Floor0 / NVT_NO_NATIVE) use their reader's oracle
+        read loop, as in the device path's fallback."""
+        from nvorbis_tpu.engine.host import HostBulkDecoder
+
+        results = []
+        for st in self._streams:
+            st.pcm = None  # the host decoder returns its own buffer
+            if st.native is None:
+                st.reader.clip_samples = self.clip_samples
+                pcm = st.reader.read_all()
+            else:
+                st.decoder._started = True
+                pcm = HostBulkDecoder(
+                    st.decoder, st.native, table=st.table
+                ).run()
+                if self.clip_samples and pcm.size and np.any(
+                        np.abs(pcm) > CLIP_LIMIT):
+                    st.decoder._has_clipped = True
+                    pcm = np.clip(pcm, -CLIP_LIMIT, CLIP_LIMIT)
+            st.out = [pcm]
+            st.done = True
             results.append(pcm)
             st.reader.dispose()
         return results

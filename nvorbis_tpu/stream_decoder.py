@@ -178,25 +178,41 @@ class StreamDecoder:
             return False
 
     def _make_pipeline(self, engine: str):
+        import os
+
+        if engine == "auto" and os.environ.get("NVT_ENGINE"):
+            engine = os.environ["NVT_ENGINE"]
         if engine == "oracle":
             return _OraclePipeline(self)
+        if engine == "host":
+            # the host engine never touches jax (engine/host.py contract);
+            # setups without a native plane (Floor0 / NVT_NO_NATIVE)
+            # degrade to the oracle pipeline — equally jax-free, slower
+            # (the documented Floor0 slow lane, PERFORMANCE.md)
+            try:
+                from nvorbis_tpu.engine.batcher import HostPipeline
+
+                return HostPipeline(self)
+            except Exception:
+                return _OraclePipeline(self)
         if engine == "auto" and self._short_stream():
             return _OraclePipeline(self)
         if engine in ("jax", "auto"):
-            from nvorbis_tpu.utils.relay import jax_backend_safe
+            from nvorbis_tpu.utils.relay import (
+                host_engine_preferred, jax_backend_safe,
+            )
 
+            if engine == "auto" and host_engine_preferred():
+                # dead relay (jax init would hang) or tunnel-relay device
+                # (wire ceiling 20-125x vs 500-1300x on the host engine —
+                # utils/relay.host_engine_preferred): decode host-side
+                return self._make_pipeline("host")
             if not jax_backend_safe():
                 # first backend touch would hang forever on the dead TPU
                 # link; a library open() must never block (see utils/relay)
                 msg = ("TPU link relay is not answering; jax backend init "
                        "would hang")
-                if engine == "jax":
-                    raise RuntimeError(msg)
-                import warnings
-
-                warnings.warn(msg + " — falling back to engine='oracle'",
-                              RuntimeWarning, stacklevel=4)
-                return _OraclePipeline(self)
+                raise RuntimeError(msg)
             try:
                 from nvorbis_tpu.engine.batcher import JaxPipeline
 
@@ -204,7 +220,7 @@ class StreamDecoder:
             except Exception:
                 if engine == "jax":
                     raise
-                return _OraclePipeline(self)
+                return self._make_pipeline("host")
         raise ValueError(f"Unknown engine {engine!r}")
 
     # -- state ---------------------------------------------------------------
@@ -311,6 +327,20 @@ class StreamDecoder:
         native = getattr(self._pipeline, "_native", None)
         if native is None:
             return None
+        from nvorbis_tpu.engine.batcher import HostPipeline
+
+        if isinstance(self._pipeline, HostPipeline):
+            # host engine: C++ unpack + numpy synthesis + host overlap-add,
+            # no jax anywhere (engine/host.py)
+            from nvorbis_tpu.engine.host import HostBulkDecoder
+
+            self._started = True
+            pcm = HostBulkDecoder(self, native).run()
+            if self.clip_samples and pcm.size:
+                if np.any(np.abs(pcm) > CLIP_LIMIT):
+                    self._has_clipped = True
+                    pcm = np.clip(pcm, -CLIP_LIMIT, CLIP_LIMIT)
+            return pcm
         from nvorbis_tpu.engine.bulk import BulkDecoder
 
         self._started = True

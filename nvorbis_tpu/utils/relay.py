@@ -69,6 +69,32 @@ def relay_configured() -> bool:
     return tpu_link_alive()
 
 
+def host_engine_preferred() -> bool:
+    """``engine="auto"`` policy: should bulk decode route to the host
+    engine (engine/host.py) instead of the device planes?
+
+    True when the jax backend is unsafe to touch (dead tunnel relay — the
+    host engine is the only hang-free full-speed path), and also when the
+    device sits behind the tunnel relay even if it answers: the relay wire
+    moves PCM at a measured 7-44 MB/s (20-125x realtime for stereo f32 at
+    zero compute cost) while the host engine sustains 500-1300x on one
+    core (NOTES.md rounds 3-4).  On direct-attached devices (no relay
+    plugin) the device planes win and ``auto`` keeps them.
+
+    ``NVT_PREFER_DEVICE=1`` reverts to the device path (on-chip
+    validation benches); ``NVT_ENGINE=host`` forces the host engine.
+    """
+    if os.environ.get("NVT_ENGINE") == "host":
+        return True
+    if not jax_backend_safe():
+        # an unsafe backend overrides NVT_PREFER_DEVICE: auto must never
+        # hang or raise, and the host engine is the full-speed safe path
+        return True
+    if os.environ.get("NVT_PREFER_DEVICE"):
+        return False
+    return relay_configured()
+
+
 def jax_backend_safe() -> bool:
     """True when touching the jax backend cannot hang on a dead TPU link.
 

@@ -53,17 +53,41 @@ def test_backend_safe_without_plugin(monkeypatch):
     assert relay.jax_backend_safe() is True
 
 
-def test_auto_falls_back_to_oracle(fixture_dir, monkeypatch):
+def test_auto_falls_back_to_host(fixture_dir, monkeypatch):
     monkeypatch.setattr(relay, "jax_backend_safe", lambda: False)
     # 3test is above NVT_DEVICE_MIN_SECS, so auto targets the device and
-    # must warn-and-fall-back; a short fixture would take the oracle
-    # before the relay probe (see StreamDecoder._short_stream)
-    with pytest.warns(RuntimeWarning, match="falling back"):
-        r = nv.VorbisReader(str(fixture_dir / "3test.ogg"))
-    # decodes fully on the oracle pipeline, no device touch
+    # must route to the host engine (full-speed, jax-free) instead; a
+    # short fixture would take the oracle before the relay probe
+    from nvorbis_tpu.engine.batcher import HostPipeline
+
+    gold = nv.VorbisReader(
+        str(fixture_dir / "3test.ogg"), engine="oracle"
+    ).read_all()
+    r = nv.VorbisReader(str(fixture_dir / "3test.ogg"))
+    assert isinstance(r._stream_decoder._pipeline, HostPipeline)
     pcm = r.read_all()
-    assert len(pcm) > 0 and np.isfinite(pcm).all()
+    assert len(pcm) == len(gold)
+    assert np.abs(pcm - gold).max() <= 2e-6
     r.dispose()
+
+
+def test_auto_falls_back_to_oracle_without_native(fixture_dir, monkeypatch):
+    # relay dead AND no native plane: the oracle pipeline is the last rung
+    monkeypatch.setattr(relay, "jax_backend_safe", lambda: False)
+    monkeypatch.setenv("NVT_NO_NATIVE", "1")
+    from nvorbis_tpu import native as native_mod
+    from nvorbis_tpu.stream_decoder import _OraclePipeline
+
+    native_mod.reset()
+    try:
+        r = nv.VorbisReader(str(fixture_dir / "3test.ogg"))
+        assert isinstance(r._stream_decoder._pipeline, _OraclePipeline)
+        pcm = r.read_all()
+        assert len(pcm) > 0 and np.isfinite(pcm).all()
+        r.dispose()
+    finally:
+        monkeypatch.delenv("NVT_NO_NATIVE")
+        native_mod.reset()
 
 
 def test_explicit_jax_raises(fixture_dir, monkeypatch):
@@ -72,13 +96,23 @@ def test_explicit_jax_raises(fixture_dir, monkeypatch):
         nv.VorbisReader(str(fixture_dir / "1test.ogg"), engine="jax")
 
 
-def test_batch_decoder_raises(fixture_dir, monkeypatch):
+def test_batch_decoder_relay_down_decodes_host(fixture_dir, monkeypatch):
+    # a dead relay must not zero a batch decode: auto routes to the host
+    # engine and returns full parity PCM (the round-3 0.0-artifact class)
     from nvorbis_tpu.parallel.batch import BatchDecoder
 
     monkeypatch.setattr(relay, "jax_backend_safe", lambda: False)
     raw = open(fixture_dir / "1test.ogg", "rb").read()
-    with pytest.raises(RuntimeError, match="relay"):
-        BatchDecoder([raw]).decode_all()
+    gold = nv.VorbisReader(
+        str(fixture_dir / "1test.ogg"), engine="oracle"
+    ).read_all()
+    bd = BatchDecoder([raw, raw])
+    assert bd._host_mode
+    outs = bd.decode_all()
+    assert len(outs) == 2
+    for o in outs:
+        assert len(o) == len(gold)
+        assert np.abs(o - gold).max() <= 2e-6
 
 
 def test_fetch_watchdog_passthrough_and_retry(monkeypatch):
