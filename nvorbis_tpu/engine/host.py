@@ -293,9 +293,11 @@ class HostBulkDecoder:
         while not provider_done:
             if cursor is not None:
                 size_counts = {}
-                job = cursor.pull(
-                    setup, blk_tab, CHUNK_FRAMES, size_counts, CAP_PER_SIZE
-                )
+                with span("host.pull"):
+                    job = cursor.pull(
+                        setup, blk_tab, CHUNK_FRAMES, size_counts,
+                        CAP_PER_SIZE
+                    )
                 provider_done = cursor.done
                 if job is None:
                     break
@@ -347,10 +349,11 @@ class HostBulkDecoder:
             if not self._spec:
                 used = used.astype(bool)
                 has_floor = has_floor.astype(bool)
-            pa, plans, self._last_plan = plan_job_arr(
-                planner, ov_tab, blk_tab, setup, meta, job,
-                dec._stats, self._last_plan,
-            )
+            with span("host.plan"):
+                pa, plans, self._last_plan = plan_job_arr(
+                    planner, ov_tab, blk_tab, setup, meta, job,
+                    dec._stats, self._last_plan,
+                )
             if cursor is None:
                 for p in packets:
                     p.done()
@@ -369,20 +372,22 @@ class HostBulkDecoder:
                         idx = np.flatnonzero(ok & (mode_r == m))
                         n = setup.modes[int(m)].block_size
                         if self._fused:
-                            g = _dct4(
-                                residue[idx, :, : n // 2].reshape(
-                                    -1, n // 2
-                                ),
-                                type=4, axis=-1,
-                            )
+                            with span("host.dct"):
+                                g = _dct4(
+                                    residue[idx, :, : n // 2].reshape(
+                                        -1, n // 2
+                                    ),
+                                    type=4, axis=-1,
+                                )
                             widx = np.ascontiguousarray(meta[idx, 2])
                             win_tab = self._synth.windows_for(int(m))
-                            self._native._lib.nvt_imdct_finish(
-                                g.ctypes.data, len(idx), C, n,
-                                idx.ctypes.data, widx.ctypes.data,
-                                win_tab.ctypes.data, rows_all.ctypes.data,
-                                n_max,
-                            )
+                            with span("host.finish"):
+                                self._native._lib.nvt_imdct_finish(
+                                    g.ctypes.data, len(idx), C, n,
+                                    idx.ctypes.data, widx.ctypes.data,
+                                    win_tab.ctypes.data,
+                                    rows_all.ctypes.data, n_max,
+                                )
                             continue
                         widx = meta[idx, 2].astype(np.int64)
                         if self._spec:

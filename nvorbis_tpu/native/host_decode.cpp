@@ -205,9 +205,13 @@ struct Scratch {
   std::vector<const int32_t*> cache;
   std::vector<int32_t> base;
   std::vector<int> posts;
+  std::vector<int> final_y;              // floor1 unwrap temporaries
+  std::vector<uint8_t> post_used;
   std::vector<uint8_t> execute, dnd;
+  std::vector<float*> bufs;              // per-submap channel pointers
   std::vector<int32_t> spec_ys;          // spectrum mode: floor posts stay
   std::vector<uint8_t> spec_used;        // thread-local, never leave
+  std::vector<uint8_t> has_floor;
 };
 inline Scratch& scratch() {
   static thread_local Scratch sc;
@@ -260,9 +264,12 @@ bool floor1_unpack(const Setup& s, const Floor1& f, BitReader& br,
     }
   }
 
-  // unwrap
-  std::vector<int> final_y(f.post_count);
-  std::vector<uint8_t> used(f.post_count, 0);
+  // unwrap (scratch-backed: this runs per channel per packet, and the
+  // per-call vector construction was pure allocator churn)
+  std::vector<int>& final_y = scratch().final_y;
+  std::vector<uint8_t>& used = scratch().post_used;
+  final_y.resize(f.post_count);
+  used.assign(f.post_count, 0);
   final_y[0] = posts[0];
   final_y[1] = posts[1];
   used[0] = used[1] = 1;
@@ -367,11 +374,6 @@ void residue_decode(const Setup& s, const Residue& r, BitReader& br,
   std::vector<const int32_t*>& cache = scratch().cache;
   cache.assign((size_t)eff_ch * part_words, nullptr);
 
-  // type 2 writes through a virtual interleaved vector
-  auto add_t2 = [&](int64_t pos, float v) {
-    bufs[pos % ch][pos / ch] += v;
-  };
-
   for (int stage = 0; stage < r.max_stages; ++stage) {
     int pi = 0, ei = 0;
     while (pi < partitions) {
@@ -394,17 +396,24 @@ void residue_decode(const Setup& s, const Residue& r, BitReader& br,
             if (bnum >= 0) {
               const Codebook& book = s.books[bnum];
               if (type == 2) {
-                // inline de-interleaved write_vectors (types 1/2 layout)
+                // inline de-interleaved write_vectors (types 1/2 layout).
+                // The interleaved position o maps to channel o % ch, bin
+                // o / ch — tracked incrementally (one div per partition
+                // instead of two per sample)
                 int dims = book.dims;
                 int steps = (psize + dims - 1) / dims;
                 int64_t o = offset;
+                int cc = (int)(o % ch);
+                int64_t oi = o / ch;
                 bool bail = false;
                 for (int i = 0; i < steps && !bail; ++i) {
                   int e = book.decode_scalar(br);
                   if (e == -1) { bail = true; break; }
                   const float* rowv = &book.lookup[(int64_t)e * dims];
-                  for (int dd = 0; dd < dims && o < half; ++dd, ++o)
-                    add_t2(o, rowv[dd]);
+                  for (int dd = 0; dd < dims && o < half; ++dd, ++o) {
+                    bufs[cc][oi] += rowv[dd];
+                    if (++cc == ch) { cc = 0; ++oi; }
+                  }
                 }
                 if (bail) return;
               } else {
@@ -648,16 +657,19 @@ void unpack_one(const Setup& s, const uint8_t* bytes, int64_t nbytes,
   }
 
   // coupling no-energy propagation (NVorbis/Mapping.cs:112-119)
-  std::vector<uint8_t> execute(has_floor_out, has_floor_out + C);
+  std::vector<uint8_t>& execute = scratch().execute;
+  execute.assign(has_floor_out, has_floor_out + C);
   for (int i = 0; i < mapping.coupling_count; ++i) {
     int m = mapping.mag[i], a = mapping.ang[i];
     if (execute[m] || execute[a]) execute[m] = execute[a] = 1;
   }
 
   // residues per submap (NVorbis/Mapping.cs:121-134)
+  std::vector<float*>& bufs = scratch().bufs;
+  std::vector<uint8_t>& dnd = scratch().dnd;
   for (int i = 0; i < mapping.submap_count; ++i) {
-    std::vector<float*> bufs;
-    std::vector<uint8_t> dnd;
+    bufs.clear();
+    dnd.clear();
     for (int c = 0; c < C; ++c) {
       if (mapping.mux[c] == i) {
         bufs.push_back(&residue_out[(int64_t)c * s.n2max]);
@@ -773,7 +785,8 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
                         ? 1 : 0;
     std::memset(spec_out + (int64_t)c * s.n2max, 0, sizeof(float) * n2);
   }
-  std::vector<uint8_t> has_floor(sc.execute.begin(), sc.execute.end());
+  std::vector<uint8_t>& has_floor = sc.has_floor;
+  has_floor.assign(sc.execute.begin(), sc.execute.end());
 
   // coupling no-energy propagation (NVorbis/Mapping.cs:112-119)
   for (int i = 0; i < mapping.coupling_count; ++i) {
@@ -781,9 +794,11 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
     if (sc.execute[m] || sc.execute[a]) sc.execute[m] = sc.execute[a] = 1;
   }
 
+  std::vector<float*>& bufs = sc.bufs;
+  std::vector<uint8_t>& dnd = sc.dnd;
   for (int i = 0; i < mapping.submap_count; ++i) {
-    std::vector<float*> bufs;
-    std::vector<uint8_t> dnd;
+    bufs.clear();
+    dnd.clear();
     for (int c = 0; c < C; ++c) {
       if (mapping.mux[c] == i) {
         bufs.push_back(&spec_out[(int64_t)c * s.n2max]);
