@@ -290,6 +290,11 @@ class HostBulkDecoder:
         carry = None  # (pcm row [C, n_max] f32, FramePlan) of last good frame
         chunk_base = 0
         provider_done = False
+        # fused lane: clip detection rides the C++ OLA (every output sample
+        # passes through it exactly once as its final value); the numpy
+        # lane leaves self.maxabs None and callers scan the output instead
+        maxabs = np.zeros(1, dtype=np.float32)
+        self.maxabs = None
         while not provider_done:
             if cursor is not None:
                 size_counts = {}
@@ -364,7 +369,8 @@ class HostBulkDecoder:
 
             # synthesize every good frame, bucketed by mode, into a flat
             # row space (row nF = the carry frame from the previous chunk)
-            rows_all = np.empty((nF + 1, C, n_max), dtype=np.float32)
+            with span("host.alloc"):
+                rows_all = np.empty((nF + 1, C, n_max), dtype=np.float32)
             with span("host.synth"):
                 if ok.any():
                     mode_r = meta[:nF, 1].astype(np.int64)
@@ -408,9 +414,10 @@ class HostBulkDecoder:
             prev_plan = carry[1] if carry is not None else None
             L_real = planner.emitted - chunk_base
             if L_real > 0:
-                c_s, c_prim, c_sec, c_sl = build_segments(
-                    pa, rof, n_max, prev_plan, nF, chunk_base
-                )
+                with span("host.segs"):
+                    c_s, c_prim, c_sec, c_sl = build_segments(
+                        pa, rof, n_max, prev_plan, nF, chunk_base
+                    )
                 if pcm is not None:
                     if chunk_base + L_real > pcm.shape[0]:
                         # stream outran the granule-derived bound
@@ -439,6 +446,7 @@ class HostBulkDecoder:
                                 c_s.ctypes.data, c_prim.ctypes.data,
                                 c_sec.ctypes.data, c_sl.ctypes.data,
                                 lens.ctypes.data, nseg, out.ctypes.data,
+                                maxabs.ctypes.data,
                             )
                     else:
                         _overlap_add(
@@ -461,6 +469,8 @@ class HostBulkDecoder:
         dec._current_position = planner.stream_pos0 + planner.emitted
         dec._has_position = planner.has_position
 
+        if self._fused:
+            self.maxabs = float(maxabs[0])
         if pcm is not None:
             return pcm[: max(0, planner.emitted)].reshape(-1)
         if not chunks:

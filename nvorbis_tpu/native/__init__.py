@@ -143,6 +143,7 @@ def load():
                 ctypes.c_void_p,  # lens
                 ctypes.c_int64,   # nseg
                 ctypes.c_void_p,  # out
+                ctypes.c_void_p,  # maxabs in/out (f32 scalar; NULL = skip)
             ]
             lib.nvt_crc32.restype = ctypes.c_uint32
             lib.nvt_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]

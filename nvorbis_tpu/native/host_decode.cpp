@@ -177,6 +177,12 @@ struct Setup {
   std::vector<std::vector<int32_t>> groups_tabs;  // per-residue (see Residue)
   std::vector<std::vector<int32_t>> xs_sorteds;   // per-floor sorted x lists
   const float* inv_db;  // [256] Vorbis I inverse-dB table (spec mode)
+  // A/B switches, sampled from the environment once per setup_create so
+  // in-process alternating benchmarks (tools/ab_variants.py pattern) can
+  // flip them between decoder constructions:
+  bool no_t2ch2;      // NVT_NO_T2CH2: disable the stereo type-2 fast lane
+  bool floor_div;     // NVT_FLOOR_DIV: per-bin closed-form division in
+                      // floor_apply instead of the incremental renderer
 };
 
 constexpr int32_t kMagic = 0x4E565432;  // "NVT2"
@@ -403,6 +409,28 @@ void residue_decode(const Setup& s, const Residue& r, BitReader& br,
                 int dims = book.dims;
                 int steps = (psize + dims - 1) / dims;
                 int64_t o = offset;
+                if (ch == 2 && (dims & 1) == 0 && (o & 1) == 0 &&
+                    steps * dims == psize && !s.no_t2ch2) {
+                  // stereo fast lane (the dominant wire layout): when the
+                  // vector cannot overshoot (dims | psize) and the
+                  // partition starts channel-aligned, elements land in
+                  // strict (L,R) bin pairs — no per-element bound check,
+                  // no channel-wrap branch.  Adds execute in the exact
+                  // order of the generic loop (bit-identical floats).
+                  float* b0 = bufs[0];
+                  float* b1 = bufs[1];
+                  int64_t oi = o >> 1;
+                  for (int i = 0; i < steps; ++i) {
+                    int e = book.decode_scalar(br);
+                    if (e == -1) return;  // bail, keep partial
+                    const float* rowv = &book.lookup[(int64_t)e * dims];
+                    for (int dd = 0; dd < dims; dd += 2, ++oi) {
+                      b0[oi] += rowv[dd];
+                      b1[oi] += rowv[dd + 1];
+                    }
+                  }
+                  continue;
+                }
                 int cc = (int)(o % ch);
                 int64_t oi = o / ch;
                 bool bail = false;
@@ -697,7 +725,7 @@ void unpack_one(const Setup& s, const uint8_t* bytes, int64_t nbytes,
 // (NVorbis/Mapping.cs:184-191).  Posts arrive in sorted-x order
 // (floor1_unpack applies sort_idx; ys are post-multiplier).
 void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
-                 const uint8_t* used, int n2, float* row) {
+                 const uint8_t* used, int n2, float* row, bool use_div) {
   int p = f.post_count;
   const int32_t* xs = f.xs_sorted;
   int prev = -1;
@@ -718,11 +746,38 @@ void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
     int64_t adx = (int64_t)end - lx;  // min(hx, n2) - lx: the clip quirk
     int x = lx > x_cursor ? lx : x_cursor;
     if (adx > 0) {
-      for (; x < end; ++x) {
-        int64_t off = (int64_t)(x - lx) * ady / adx;
-        int64_t y = ly + (dy < 0 ? -off : off);
-        y = y < 0 ? 0 : (y > 255 ? 255 : y);
-        row[x] *= inv_db[y];
+      if (use_div) {
+        // closed-form reference (NVT_FLOOR_DIV=1): one integer division
+        // per bin, kept as the A/B twin of the incremental renderer
+        for (; x < end; ++x) {
+          int64_t off = (int64_t)(x - lx) * ady / adx;
+          int64_t y = ly + (dy < 0 ? -off : off);
+          y = y < 0 ? 0 : (y > 255 ? 255 : y);
+          row[x] *= inv_db[y];
+        }
+      } else {
+        // incremental renderer: off(x) = (x-lx)*ady/adx advanced by
+        // (base, remainder-carry) per bin — integer-exact equal to the
+        // closed form (off*adx + err == (x-lx)*ady with 0 <= err < adx
+        // is the loop invariant), two divisions per SEGMENT instead of
+        // one per bin.  Same scheme as the reference's own renderer
+        // (NVorbis/Floor1.cs RenderLineMulti, 316-341).
+        int64_t base = ady / adx;
+        int64_t rem = ady - base * adx;
+        int64_t d0 = (int64_t)x - lx;
+        int64_t off = d0 * ady / adx;
+        int64_t err = d0 * ady - off * adx;
+        for (; x < end; ++x) {
+          int64_t y = ly + (dy < 0 ? -off : off);
+          y = y < 0 ? 0 : (y > 255 ? 255 : y);
+          row[x] *= inv_db[y];
+          off += base;
+          err += rem;
+          if (err >= adx) {
+            err -= adx;
+            ++off;
+          }
+        }
       }
     } else {
       int64_t y = ly < 0 ? 0 : (ly > 255 ? 255 : ly);
@@ -840,7 +895,7 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
     }
     const Floor1& f = s.floors[mapping.submap_floor[mapping.mux[c]]];
     floor_apply(f, s.inv_db, &sc.spec_ys[(size_t)c * P],
-                &sc.spec_used[(size_t)c * P], n2, row);
+                &sc.spec_used[(size_t)c * P], n2, row, s.floor_div);
   }
 
   meta[0] = 1;
@@ -952,6 +1007,8 @@ void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
                        int64_t nf) {
   if (ni < 13 || blob_i[0] != kMagic) return nullptr;
   Setup* s = new Setup();
+  s->no_t2ch2 = std::getenv("NVT_NO_T2CH2") != nullptr;
+  s->floor_div = std::getenv("NVT_FLOOR_DIV") != nullptr;
   s->blob_i.assign(blob_i, blob_i + ni);
   s->blob_f.assign(blob_f, blob_f + nf);
   const int32_t* p = s->blob_i.data();
@@ -1175,25 +1232,45 @@ void nvt_ola(const float* rows_all,  // [rows, C, n_max]
              int64_t n_max, int32_t C,
              const int64_t* s, const int64_t* prim, const int64_t* sec,
              const int64_t* sl, const int64_t* lens, int64_t nseg,
-             float* out) {            // [L, C] interleaved
+             float* out,              // [L, C] interleaved
+             float* maxabs_io) {      // running max |sample| (in/out) —
+                                      // clip detection fused into the pass
+                                      // that already touches every sample
+                                      // (the callers' whole-output
+                                      // np.abs scan was ~0.15 s/round)
+  float mx = maxabs_io ? *maxabs_io : 0.0f;
   for (int64_t k = 0; k < nseg; ++k) {
     int64_t L = lens[k];
     if (L <= 0) continue;
     float* o = out + s[k] * C;
     int64_t pr = prim[k], r = pr / n_max, off = pr % n_max;
+    int64_t S = sl[k];
     for (int c = 0; c < C; ++c) {
       const float* p = rows_all + (r * C + c) * n_max + off;
-      for (int64_t t = 0; t < L; ++t) o[t * C + c] = p[t];
+      // [0, S) is pre-overlap (final value lands in the add below);
+      // [S, L) is final here
+      for (int64_t t = 0; t < S; ++t) o[t * C + c] = p[t];
+      for (int64_t t = S; t < L; ++t) {
+        float v = p[t];
+        o[t * C + c] = v;
+        float a = v < 0 ? -v : v;
+        if (a > mx) mx = a;
+      }
     }
-    int64_t S = sl[k];
     if (S > 0) {
       int64_t sc = sec[k], r2 = sc / n_max, off2 = sc % n_max;
       for (int c = 0; c < C; ++c) {
         const float* p = rows_all + (r2 * C + c) * n_max + off2;
-        for (int64_t t = 0; t < S; ++t) o[t * C + c] += p[t];
+        for (int64_t t = 0; t < S; ++t) {
+          float v = o[t * C + c] + p[t];
+          o[t * C + c] = v;
+          float a = v < 0 ? -v : v;
+          if (a > mx) mx = a;
+        }
       }
     }
   }
+  if (maxabs_io) *maxabs_io = mx;
 }
 
 // Ogg CRC-32 (poly 0x04c11db7, non-reflected, init 0) — table-driven.

@@ -366,13 +366,15 @@ class BatchDecoder:
                 pcm = st.reader.read_all()
             else:
                 st.decoder._started = True
-                pcm = HostBulkDecoder(
-                    st.decoder, st.native, table=st.table
-                ).run()
-                if self.clip_samples and pcm.size and np.any(
-                        np.abs(pcm) > CLIP_LIMIT):
-                    st.decoder._has_clipped = True
-                    pcm = np.clip(pcm, -CLIP_LIMIT, CLIP_LIMIT)
+                hb = HostBulkDecoder(st.decoder, st.native, table=st.table)
+                pcm = hb.run()
+                if self.clip_samples and pcm.size:
+                    mx = hb.maxabs  # fused C++ OLA tracks max |sample|
+                    if mx is None:
+                        mx = float(np.abs(pcm).max())
+                    if mx > CLIP_LIMIT:
+                        st.decoder._has_clipped = True
+                        pcm = np.clip(pcm, -CLIP_LIMIT, CLIP_LIMIT)
             st.out = [pcm]
             st.done = True
             results.append(pcm)

@@ -335,9 +335,15 @@ class StreamDecoder:
             from nvorbis_tpu.engine.host import HostBulkDecoder
 
             self._started = True
-            pcm = HostBulkDecoder(self, native).run()
+            hb = HostBulkDecoder(self, native)
+            pcm = hb.run()
             if self.clip_samples and pcm.size:
-                if np.any(np.abs(pcm) > CLIP_LIMIT):
+                # fused lane: max |sample| tracked inside the C++ OLA;
+                # numpy lane scans the output
+                mx = hb.maxabs
+                if mx is None:
+                    mx = float(np.abs(pcm).max())
+                if mx > CLIP_LIMIT:
                     self._has_clipped = True
                     pcm = np.clip(pcm, -CLIP_LIMIT, CLIP_LIMIT)
             return pcm
