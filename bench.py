@@ -8,22 +8,34 @@ on stderr (the driver's tail captures both streams):
   1. decode_1test_wav           — 1test.ogg decode-to-WAV latency config
   2. longform_batch (headline)  — N long-form stereo 44.1 kHz streams
   3. chained_seek               — granule-exact seeks/sec on a chained file
-  4. surround51_48k[_int16]     — 5.1 @ 48 kHz coupled Residue2 synthetic
-  5. longform_batch_int16       — headline workload, 16-bit PCM transport
-  6. batch64 / batch64_mixed    — 64-stream co-batched aggregate throughput
+  4. surround51_48k             — 5.1 @ 48 kHz coupled Residue2 synthetic
+  5. batch64 / batch64_mixed    — 64-stream aggregate throughput
                                   (homogeneous / 4 distinct setups)
-  7. host_ceiling               — device-stubbed host-plane throughput
-                                  (tools/host_ceiling.py; relay-independent)
+  6. host_ceiling               — the headline workload pinned to the host
+                                  engine, median + spread (tools/)
+  7. *_device / *_int16         — device-plane validation configs: the
+                                  same workloads forced through the TPU
+                                  path (NVT_PREFER_DEVICE), f32 and 16-bit
+                                  transport; only meaningful when the
+                                  relay answers
 
-Every config has reduced-size fallback tiers so a slow relay phase yields
-a smaller measured value instead of a killed child with no value.
+**No relay state can zero this bench** (round-3 lesson: seven configs
+recorded "skipped: relay down" while the library could decode at 1,100x+
+with no device at all).  ``engine="auto"`` routes to the jax-free host
+engine whenever the device is absent/unsafe or sits behind the tunnel
+relay (utils/relay.host_engine_preferred), so every config measures a
+real value in every environment; each line carries a ``backend`` tag
+("host" or the jax backend) naming the plane that produced it.  Device
+configs additionally fall back to the host engine when the relay is dead
+(tagged, with a note) instead of skipping.
 
 Env knobs: NVT_BENCH_STREAMS (headline batch width, default 8),
-NVT_BENCH_REPS (timed reps, default 3 — the tunnel relay rate is noisy,
-best-of-3 rides out a slow phase), NVT_BENCH_CONFIGS
-(comma-separated subset), NVT_BENCH_BUDGET (wall seconds for the optional
-configs, default 1500), NVT_FETCH_INT16=1 (lossy 16-bit PCM transport —
-halves device->host bytes through a bandwidth-capped link).
+NVT_BENCH_REPS (timed reps, default 3 — the host number drifts with VM
+weather and the relay rate drifts in phases; best-of-3 rides out a slow
+phase), NVT_BENCH_CONFIGS (comma-separated subset), NVT_BENCH_BUDGET
+(wall seconds for the optional configs, default 1500), NVT_FETCH_INT16=1
+(lossy 16-bit PCM transport — halves device->host bytes through a
+bandwidth-capped link).
 """
 
 import faulthandler
@@ -38,7 +50,13 @@ import time
 # stacks to stderr without disturbing the run
 faulthandler.register(signal.SIGUSR1, file=sys.stderr)
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from nvorbis_tpu.utils.jaxinit import machine_cache_dir  # jax-free import
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    machine_cache_dir("/root/repo/.jax_cache"),
+)
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 SRC_FIXTURE = "/root/reference/TestFiles/3test.ogg"
@@ -67,8 +85,8 @@ S51_PACKETS = int(os.environ.get("NVT_BENCH_51_PACKETS", "4096"))
 CONFIGS = [c for c in os.environ.get(
     "NVT_BENCH_CONFIGS",
     "longform_batch,host_ceiling,decode_1test_wav,chained_seek,"
-    "forward_only,surround51_48k,surround51_48k_int16,longform_batch_int16,"
-    "batch64,batch64_mixed",
+    "forward_only,surround51_48k,batch64,batch64_mixed,"
+    "longform_batch_device,longform_batch_int16,surround51_48k_int16",
 ).split(",") if c]
 
 _T0 = time.perf_counter()
@@ -88,7 +106,8 @@ def _enable_compile_cache():
 
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(_REPO, ".jax_cache"))
+                          machine_cache_dir(os.path.join(_REPO,
+                                                         ".jax_cache")))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
@@ -133,16 +152,41 @@ def _tpu_link_alive() -> bool:
     return jax_backend_safe()
 
 
-def decode_batch(raws):
-    """Aggregate decoded audio seconds via the co-batched plane."""
+_LAST_BACKEND = "host"
+
+
+def decode_batch(raws, prefer_device=False):
+    """Aggregate decoded audio seconds via the batch plane.
+
+    ``engine="auto"`` picks the host engine or the device planes per the
+    production policy (utils/relay.host_engine_preferred).
+    ``prefer_device=True`` routes to the device path for the
+    device-validation configs — and still falls back to the host engine
+    when the relay is dead (auto never hangs), so those configs record a
+    tagged value instead of a skip.  Sets ``_LAST_BACKEND``."""
+    global _LAST_BACKEND
     from nvorbis_tpu.parallel.batch import BatchDecoder
 
-    bd = BatchDecoder(raws)
-    outs = bd.decode_all()
+    if prefer_device:
+        os.environ["NVT_PREFER_DEVICE"] = "1"
+    try:
+        bd = BatchDecoder(raws)
+        outs = bd.decode_all()
+    finally:
+        if prefer_device:
+            os.environ.pop("NVT_PREFER_DEVICE", None)
+    _LAST_BACKEND = "host" if bd._host_mode else "device"
     total = 0.0
     for st, o in zip(bd._streams, outs):
         total += len(o) / st.decoder.channels / st.decoder.sample_rate
     return total
+
+
+def _reader_backend(reader):
+    """Which plane a VorbisReader's auto pipeline resolved to."""
+    name = type(reader._stream_decoder._pipeline).__name__
+    return {"HostPipeline": "host", "JaxPipeline": "device",
+            "_OraclePipeline": "oracle"}.get(name, name)
 
 
 def _timed_best(fn, reps=REPS):
@@ -156,35 +200,70 @@ def _timed_best(fn, reps=REPS):
 
 
 def cfg_longform_batch():
+    """The headline: production ``engine="auto"`` on the long-form batch.
+    In this environment auto resolves to the host engine (the relay wire
+    caps the device path at 20-125x; the host engine sustains 500x+)."""
     raw = open(_long_fixture(), "rb").read()
     raws = [raw] * N_STREAMS
-    decode_batch(raws)  # warm jit caches on the measured shapes
+    decode_batch(raws)  # warm (packet tables, page pool, any jit caches)
     return {
         "metric": "decode_throughput_stereo_44k1_longform_batch",
         "value": round(_timed_best(lambda: decode_batch(raws)), 3),
         "unit": "x_realtime_per_chip",
         "streams": N_STREAMS,
+        "backend": _LAST_BACKEND,
     }
 
 
+def cfg_longform_batch_device():
+    """Device-plane validation: the headline workload forced through the
+    TPU path (co-batched chunk programs, device worker, relay transport).
+    Wire-bound through the tunnel relay (20-125x structural ceiling for
+    stereo f32 — PERFORMANCE.md); falls back to the host engine (tagged)
+    when the relay is dead, so the config always records a value."""
+    raw = open(_long_fixture(), "rb").read()
+    raws = [raw] * N_STREAMS
+    decode_batch(raws, prefer_device=True)  # warm jit caches
+    line = {
+        "metric": "decode_throughput_stereo_44k1_longform_batch_device",
+        "value": round(_timed_best(
+            lambda: decode_batch(raws, prefer_device=True)), 3),
+        "unit": "x_realtime_per_chip",
+        "streams": N_STREAMS,
+        "backend": _LAST_BACKEND,
+    }
+    if _LAST_BACKEND == "host":
+        line["note"] = "relay dead: auto fell back to the host engine"
+    return line
+
+
 def cfg_longform_batch_int16():
-    """The headline workload with 16-bit PCM transport (NVT_FETCH_INT16):
-    halves device->host bytes, quantifying how much of the f32 headline is
-    link-bound.  Lossy (~3e-5) — reported separately, never the headline."""
+    """The device headline with 16-bit PCM transport (NVT_FETCH_INT16):
+    halves device->host bytes, quantifying how much of the device f32
+    number is link-bound.  Lossy (~3e-5) — reported separately, never the
+    headline.  Transport dtype only exists on the device path, so this
+    prefers the device; a dead relay downgrades it to a host-engine run
+    (tagged) rather than a skip."""
     raw = open(_long_fixture(), "rb").read()
     raws = [raw] * N_STREAMS
     os.environ["NVT_FETCH_INT16"] = "1"
     try:
-        decode_batch(raws)  # warm
-        value = round(_timed_best(lambda: decode_batch(raws)), 3)
+        decode_batch(raws, prefer_device=True)  # warm
+        value = round(_timed_best(
+            lambda: decode_batch(raws, prefer_device=True)), 3)
     finally:
         os.environ.pop("NVT_FETCH_INT16", None)
-    return {
+    line = {
         "metric": "decode_throughput_stereo_44k1_longform_batch_int16",
         "value": value,
         "unit": "x_realtime_per_chip",
         "streams": N_STREAMS,
+        "backend": _LAST_BACKEND,
     }
+    if _LAST_BACKEND == "host":
+        line["note"] = ("relay dead: host engine (f32 emit; int16 "
+                        "transport is a device-link metric)")
+    return line
 
 
 def cfg_decode_1test_wav():
@@ -203,10 +282,14 @@ def cfg_decode_1test_wav():
         return audio_sec
 
     once()  # warm
+    r = nv.VorbisReader(SRC_1TEST)
+    backend = _reader_backend(r)
+    r.dispose()
     return {
         "metric": "decode_1test_to_wav",
         "value": round(_timed_best(once, reps=3), 3),
         "unit": "x_realtime_per_chip",
+        "backend": backend,
     }
 
 
@@ -241,11 +324,13 @@ def cfg_chained_seek():
         r.read_samples(buffer=buf)
         n_seeks += 1
     dt = time.perf_counter() - t0
+    backend = _reader_backend(r)
     r.dispose()
     return {
         "metric": "chained_seek_read",
         "value": round(n_seeks / dt, 2),
         "unit": "seeks_per_sec",
+        "backend": backend,
     }
 
 
@@ -267,8 +352,11 @@ def cfg_forward_only():
         def seekable(self):
             return False
 
+    backend = [None]
+
     def _once(wrap):
         r = nv.VorbisReader(wrap(raw))
+        backend[0] = _reader_backend(r)
         pcm = r.read_all()
         sec = len(pcm) / r.channels / r.sample_rate
         r.dispose()
@@ -282,6 +370,7 @@ def cfg_forward_only():
         "value": round(fwd, 3),
         "unit": "x_realtime_per_chip",
         "seekable_ratio": round(fwd / max(seek, 1e-9), 3),
+        "backend": backend[0],
     }
 
 
@@ -306,25 +395,33 @@ def cfg_surround51_48k():
         "value": round(_timed_best(lambda: decode_batch(raws), reps=1), 3),
         "unit": "x_realtime_per_chip",
         "streams": 4,
+        "backend": _LAST_BACKEND,
     }
 
 
 def cfg_surround51_48k_int16():
-    """5.1 with 16-bit transport: 6-channel f32 is 3.3x stereo's
-    bytes/audio-sec, the config most in need of halved link bytes."""
+    """5.1 through the device with 16-bit transport: 6-channel f32 is 3.3x
+    stereo's bytes/audio-sec, the config most in need of halved link
+    bytes.  Device-validation config (see cfg_longform_batch_int16)."""
     raws = _surround51_raws()
     os.environ["NVT_FETCH_INT16"] = "1"
     try:
-        decode_batch(raws)  # warm
-        value = round(_timed_best(lambda: decode_batch(raws), reps=1), 3)
+        decode_batch(raws, prefer_device=True)  # warm
+        value = round(_timed_best(
+            lambda: decode_batch(raws, prefer_device=True), reps=1), 3)
     finally:
         os.environ.pop("NVT_FETCH_INT16", None)
-    return {
+    line = {
         "metric": "decode_throughput_51_48k_residue2_int16",
         "value": value,
         "unit": "x_realtime_per_chip",
         "streams": 4,
+        "backend": _LAST_BACKEND,
     }
+    if _LAST_BACKEND == "host":
+        line["note"] = ("relay dead: host engine (f32 emit; int16 "
+                        "transport is a device-link metric)")
+    return line
 
 
 def cfg_batch64():
@@ -336,6 +433,7 @@ def cfg_batch64():
         "value": round(_timed_best(lambda: decode_batch(raws), reps=1), 3),
         "unit": "x_realtime_per_chip",
         "streams": len(raws),
+        "backend": _LAST_BACKEND,
     }
 
 
@@ -369,12 +467,7 @@ def cfg_batch64_mixed():
     n_groups = len(groups)
 
     def once():
-        d = BatchDecoder(raws)
-        outs = d.decode_all()
-        total = 0.0
-        for st, o in zip(d._streams, outs):
-            total += len(o) / st.decoder.channels / st.decoder.sample_rate
-        return total
+        return decode_batch(raws)
 
     once()  # warm
     return {
@@ -384,26 +477,31 @@ def cfg_batch64_mixed():
         "streams": len(raws),
         "distinct_setups": 4,
         "groups": n_groups,
+        "backend": _LAST_BACKEND,
     }
 
 
 def cfg_host_ceiling():
-    """Device-stubbed host-plane throughput (tools/host_ceiling.py in a
-    child so the stub's monkeypatching cannot leak here).  Relay-
-    independent: runs on the CPU platform, records the bound that binds on
-    a direct-attached device."""
+    """Host-engine throughput through the REAL production path
+    (tools/host_ceiling.py: BatchDecoder(engine="host"), real synthesis,
+    real PCM emit — the round-3 zeros-stub is retired).  Runs in a child
+    for a clean allocator/page state; jax-free, relay-independent.
+    Reports the median of the timed rounds with the min/max spread so
+    host-weather drift travels with the number."""
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
     env.pop("NVT_BENCH_CHILD", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "tools", "host_ceiling.py"),
          "8", "32", "6"],
         env=env, capture_output=True, text=True, timeout=420,
     )
-    value = None
+    value = spread = None
     for ln in proc.stdout.splitlines():
         if ln.startswith("host_ceiling_x:"):
             value = float(ln.split(":", 1)[1])
+        elif ln.startswith("host_ceiling_spread:"):
+            lo, hi = ln.split(":", 1)[1].split()
+            spread = [float(lo), float(hi)]
     if value is None:
         tail = (proc.stderr or "").strip().splitlines()
         raise RuntimeError(
@@ -413,13 +511,16 @@ def cfg_host_ceiling():
     return {
         "metric": "host_ceiling",
         "value": round(value, 1),
-        "unit": "x_realtime_host_plane",
+        "unit": "x_realtime_host_engine_median",
+        "spread": spread,
         "streams": 8,
+        "backend": "host",
     }
 
 
 _CFG_FNS = {
     "longform_batch": cfg_longform_batch,
+    "longform_batch_device": cfg_longform_batch_device,
     "longform_batch_int16": cfg_longform_batch_int16,
     "decode_1test_wav": cfg_decode_1test_wav,
     "chained_seek": cfg_chained_seek,
@@ -431,22 +532,22 @@ _CFG_FNS = {
     "host_ceiling": cfg_host_ceiling,
 }
 
-# configs that never touch the relay: run even when it is down/dead-slow
-_RELAY_FREE = {"host_ceiling"}
-# host-capable configs: engine="auto" falls back to the numpy oracle when
-# the relay is dead (tests/test_relay_guard.py), so these still measure a
-# legitimate (host-plane) value — a 2-hour relay outage was observed
-# mid-round; skipping them zeroed coverage for nothing
-_RELAY_FREE |= {"decode_1test_wav", "chained_seek"}
+# device-validation configs: the only ones whose full-size tier moves GBs
+# through the relay (the rest resolve to the host engine under auto); they
+# get relay-phase-aware fallback tiers, and a dead relay downgrades them
+# to tagged host-engine runs instead of skips — NO config ever skips for
+# relay state (the round-3 0.0-artifact lesson)
+_DEVICE_CFGS = {"longform_batch_device", "longform_batch_int16",
+                "surround51_48k_int16"}
 
-# required remaining budget before *starting* a config (expensive ones can
-# overrun an external timeout by minutes in a slow relay phase).  Cheap
-# configs (host-oracle decode, a second of seeks, the relay-free ceiling)
-# always run, even after a slow phase ate the budget.
-MIN_LEFT = {"batch64": 500.0, "batch64_mixed": 500.0,
-            "forward_only": 250.0,
+# required remaining budget before *starting* a config (the device ones
+# can overrun an external timeout by minutes in a slow relay phase).
+# Host-engine configs are cheap and always run.
+MIN_LEFT = {"batch64": 150.0, "batch64_mixed": 150.0,
+            "forward_only": 100.0,
+            "longform_batch_device": 400.0,
             "longform_batch_int16": 300.0,
-            "surround51_48k": 200.0, "surround51_48k_int16": 150.0,
+            "surround51_48k": 100.0, "surround51_48k_int16": 150.0,
             "decode_1test_wav": float("-inf"),
             "chained_seek": float("-inf"),
             "host_ceiling": float("-inf")}
@@ -463,12 +564,10 @@ def main():
         "vs_baseline": 0.0,
     }
     relay_up = _tpu_link_alive()
-    if not relay_up and not (set(CONFIGS) & _RELAY_FREE):
-        print("TPU tunnel relay is down (connection refused on :8082); "
-              "jax init would hang — aborting bench.", file=sys.stderr)
-        _emit(headline, final=True)
-        return
-    if relay_up:
+    # jax is touched ONLY when a device-validation config runs in this
+    # process and the relay answers; host-engine configs must never reach
+    # backend init (a dead relay hangs it — the round-1/round-3 0.0 class)
+    if relay_up and set(CONFIGS) & _DEVICE_CFGS:
         _enable_compile_cache()
         if not os.environ.get("NVT_BENCH_SKIP_PROBE"):
             _probe_link()
@@ -480,9 +579,6 @@ def main():
         fn = _CFG_FNS.get(name)
         if fn is None:
             print(f"unknown bench config {name!r}", file=sys.stderr)
-            continue
-        if not relay_up and name not in _RELAY_FREE:
-            _emit({"metric": name, "skipped": "relay down"})
             continue
         if (name != HEADLINE and not os.environ.get("NVT_BENCH_CHILD")
                 and _budget_left() < MIN_LEFT.get(name, 0.0)):
@@ -515,42 +611,40 @@ def _plans_for(name, link_rate):
     """Attempt plan per config: [(extra_env, child_limit_s), ...].
 
     Attempt 0 is the full config; later tiers shrink the workload so SOME
-    value gets measured in any relay phase — a short run's number beats a
-    killed child's 0.0.  The upfront phase probe (``link_rate`` MB/s) picks
-    the starting tier so a dead phase doesn't burn minutes on a doomed
-    full-size attempt."""
+    value gets measured in any environment state — a short run's number
+    beats a killed child's 0.0.  Host-engine configs are fast and
+    insensitive to the relay; only the device-validation configs get
+    relay-phase-aware tier selection (``link_rate`` MB/s from the probe)."""
     if name == HEADLINE:
+        # host engine: full size is ~100 s cold warm-up + ~5-25 s per rep
+        plans = [({}, 900.0),
+                 ({"NVT_BENCH_REPEATS": "8", "NVT_BENCH_REPS": "2"}, 420.0)]
+    elif name in ("longform_batch_device", "longform_batch_int16"):
         plans = [({}, 1500.0),
                  ({"NVT_BENCH_REPEATS": "16", "NVT_BENCH_REPS": "1"}, 700.0),
                  ({"NVT_BENCH_REPEATS": "4", "NVT_BENCH_REPS": "1",
                    "NVT_BENCH_STREAMS": "2"}, 500.0)]
-    elif name == "longform_batch_int16":
-        plans = [({}, 900.0),
-                 ({"NVT_BENCH_REPEATS": "16", "NVT_BENCH_REPS": "1"}, 500.0),
-                 ({"NVT_BENCH_REPEATS": "4", "NVT_BENCH_REPS": "1",
-                   "NVT_BENCH_STREAMS": "2"}, 400.0)]
     elif name in ("batch64", "batch64_mixed"):
-        # last-resort tier shrinks the FLEET too: 16 streams over the same
-        # 4 setups — a near-dead phase killed the 64-stream 1-repeat tier
-        # at 420 s (BENCH r3 validation), losing the config's value
+        # host-engine now, but keep a fleet-shrinking tier for dying hosts
         plans = [({}, 900.0),
-                 ({"NVT_BENCH_B64_REPEATS": "2"}, 600.0),
-                 ({"NVT_BENCH_B64_REPEATS": "1"}, 450.0),
+                 ({"NVT_BENCH_B64_REPEATS": "2"}, 450.0),
                  ({"NVT_BENCH_B64_REPEATS": "1",
                    "NVT_BENCH_B64_WIDTH": "4"}, 420.0)]
-    elif name in ("surround51_48k", "surround51_48k_int16"):
+    elif name == "surround51_48k":
+        plans = [({}, 600.0),
+                 ({"NVT_BENCH_51_PACKETS": "1024"}, 420.0)]
+    elif name == "surround51_48k_int16":
         plans = [({}, 700.0),
                  ({"NVT_BENCH_51_PACKETS": "1024"}, 450.0)]
     elif name == "forward_only":
         plans = [({}, 700.0),
                  ({"NVT_BENCH_FWD_REPEATS": "2"}, 450.0)]
     else:
-        # cheap / relay-free configs: one attempt with a generous floor
-        # (even "cheap" configs pay compile + relay latency in a slow
-        # phase — a 300 s limit once killed a seek child)
+        # cheap configs: one attempt with a generous floor (even "cheap"
+        # configs pay cold compiles/build in a slow phase)
         return [({}, 600.0)]
-    if link_rate is not None:
-        # full-size headline moves ~4.8 GB over warm+3 reps: it needs a
+    if name in _DEVICE_CFGS and link_rate is not None:
+        # a full-size device attempt moves GBs over the relay: it needs a
         # sustained ~10+ MB/s *with headroom for phase drift* to fit its
         # limit (a 9.6 MB/s probe phase was observed dying at 1500 s)
         if link_rate < 1.0:
@@ -572,19 +666,18 @@ def parent_main():
     run ``main`` directly); ``NVT_BENCH_NO_FORK=1`` disables orchestration
     entirely."""
     relay_up = _tpu_link_alive()
-    if not relay_up and not (set(CONFIGS) & _RELAY_FREE):
-        print("TPU tunnel relay is down (connection refused on :8082); "
-              "jax init would hang — aborting bench.", file=sys.stderr)
-        _emit({"metric": _HEADLINE_METRIC, "value": 0.0,
-               "unit": "x_realtime_per_chip", "vs_baseline": 0.0},
-              final=True)
-        return
+    if not relay_up:
+        # every config still runs: auto routes to the jax-free host engine
+        # and the device-validation configs record tagged host values
+        print("TPU tunnel relay is down; all configs run on the host "
+              "engine (auto policy).", file=sys.stderr)
 
     headline_line = None
 
-    # probe the relay phase first (own child: the probe itself can wedge)
+    # probe the relay phase first (own child: the probe itself can wedge);
+    # only worth a child when a device config will use the tier selection
     link_rate = None
-    if relay_up:
+    if relay_up and set(CONFIGS) & _DEVICE_CFGS:
         try:
             env = dict(os.environ)
             env["NVT_BENCH_CHILD"] = "1"
@@ -652,10 +745,7 @@ def parent_main():
         if name not in _CFG_FNS:
             print(f"unknown bench config {name!r}", file=sys.stderr)
             continue
-        if not relay_up and name not in _RELAY_FREE:
-            _emit({"metric": name, "skipped": "relay down"})
-            continue
-        plans = _plans_for(name, link_rate if name not in _RELAY_FREE
+        plans = _plans_for(name, link_rate if name in _DEVICE_CFGS
                            else None)
         if name != HEADLINE and _budget_left() < MIN_LEFT.get(name, 0.0):
             # budget exhausted: a small measured value still beats a skip
@@ -675,16 +765,16 @@ def parent_main():
             extra_env, limit = plans[-1]
             plans = [(extra_env, min(limit, 420.0))]
         for attempt, (extra_env, limit) in enumerate(plans):
-            probe_here = (name == HEADLINE and attempt == 0
-                          and link_rate is None)
+            probe_here = (relay_up and name in _DEVICE_CFGS
+                          and attempt == 0 and link_rate is None)
             if _run_child(name, extra_env, limit, attempt, probe_here):
                 break  # a value exists; fallback tiers are for no-value
         if name == HEADLINE:
-            # one full-size re-run when the value smells like a slow phase
-            # (the metric is best observed throughput; phases drift) — but
-            # only if the remaining configs' budget reservations survive:
-            # coverage beats a retry
-            RETRY_BELOW = 20.0
+            # one full-size re-run when the value smells like a bad host
+            # phase (the metric is best observed throughput; host weather
+            # drifts) — but only if the remaining configs' budget
+            # reservations survive: coverage beats a retry
+            RETRY_BELOW = 100.0
             if (headline_line is not None
                     and headline_line.get("value", 0) < RETRY_BELOW):
                 rest = CONFIGS[CONFIGS.index(name) + 1:]

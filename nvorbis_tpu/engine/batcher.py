@@ -456,7 +456,9 @@ class HostPipeline(JaxPipeline):
 
     def __init__(self, decoder, readahead: int = 2048):
         from nvorbis_tpu.native import NativeUnpacker
+        from nvorbis_tpu.utils.hostmem import enable_page_recycling
 
+        enable_page_recycling()  # see parallel/batch.py host branch
         self._decoder = decoder
         self._max_readahead = readahead
         self._queue = deque()

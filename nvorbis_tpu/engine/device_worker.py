@@ -102,6 +102,34 @@ def _spool_dir_base():
     return tempfile.gettempdir()
 
 
+def _sweep_stale_spools():
+    """Remove ``nvt-dw-<pid>-*`` spool dirs whose owning process is dead.
+
+    The spool lives on tmpfs (RAM-backed); close()/__del__/atexit cover
+    orderly exits, but a SIGKILLed parent leaks its spool until reboot —
+    so every new worker reclaims predecessors' leftovers (the pid rides
+    in the directory name)."""
+    import glob
+    import shutil
+
+    for d in glob.glob(os.path.join(_spool_dir_base(), "nvt-dw-*")):
+        tag = os.path.basename(d)[len("nvt-dw-"):]
+        pid_s = tag.split("-", 1)[0]
+        if not pid_s.isdigit():
+            # pre-round-4 layout (no pid): only safe to treat as stale
+            shutil.rmtree(d, ignore_errors=True)
+            continue
+        pid = int(pid_s)
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # alive, different user
+
+
 def _write_arrays(path, arrays):
     """Write arrays back-to-back into ``path`` IN PLACE (no truncate: the
     slot's already-provisioned pages stay warm).  Returns per-array
@@ -254,15 +282,18 @@ class DeviceWorker:
     submitted-but-unresolved chunks (their spool slots persist) and every
     registered table are kept so a respawned child can replay them.
 
-    Thread model: exactly ONE thread may call :meth:`result` (the decode
-    planes' single fetch worker), while :meth:`submit` /
-    :meth:`register_tables` / :meth:`drop_tables` may run concurrently on
-    the main thread.  ``_lock`` serializes every connection write and the
-    respawn/replay transition against submits — without it a watchdog
-    respawn closing the connection mid-``send`` crashed the very
-    wedge-recovery path it implements, or replayed a chunk the submitter
-    was still queueing (double send).  Only the result thread ever
-    ``recv``s or respawns, so reads need no lock."""
+    Thread model: :meth:`submit` / :meth:`register_tables` /
+    :meth:`drop_tables` may run concurrently on any thread; ``_lock``
+    serializes every connection write and the respawn/replay transition
+    against submits — without it a watchdog respawn closing the
+    connection mid-``send`` crashed the very wedge-recovery path it
+    implements, or replayed a chunk the submitter was still queueing
+    (double send).  :meth:`result` may also be called from more than one
+    thread (two decode planes sharing the process-wide worker each run
+    their own fetch thread): ``_rlock`` serializes the recv/respawn loop
+    so the length-prefixed pickle stream is read by one thread at a time
+    — a waiter whose result arrives while another thread holds the reader
+    lock picks it up from ``_results`` as soon as the holder releases."""
 
     MAX_RESPAWNS = 5
 
@@ -271,8 +302,10 @@ class DeviceWorker:
         import threading
 
         self._lock = threading.Lock()
+        self._rlock = threading.Lock()  # reader/respawn serialization
         self._seq = 0
-        self._spool = tempfile.mkdtemp(prefix="nvt-dw-",
+        _sweep_stale_spools()  # reclaim tmpfs from SIGKILLed prior owners
+        self._spool = tempfile.mkdtemp(prefix=f"nvt-dw-{os.getpid()}-",
                                        dir=_spool_dir_base())
         self._tables = {}       # key -> metas (files persist in the spool)
         self._outstanding = {}  # seq -> (kind, cfg, spec, l_fetch, nbytes)
@@ -440,63 +473,70 @@ class DeviceWorker:
                 and seq not in self._results):
             # voluntary recycle at the byte threshold: kill, fresh session,
             # replay the (bounded) in-flight window; does not count toward
-            # MAX_RESPAWNS
+            # MAX_RESPAWNS.  Under the reader lock so a concurrent result()
+            # never recv()s on the connection being torn down.
             import subprocess
 
-            with self._lock:
-                self._proc.kill()
-                try:
-                    self._proc.wait(timeout=10)
-                except subprocess.TimeoutExpired:
-                    pass
-                self._conn.close()
-                self._spawn()
-                self._bytes_since_spawn = 0
-                self._replay()
-        while seq not in self._results:
-            nbytes = self._outstanding[self._order[0]][4]
-            timeout = _chunk_timeout(nbytes, self._fresh)
-            deadline = time.monotonic() + timeout
-            got = False
-            while time.monotonic() < deadline:
-                if self._conn.poll(min(1.0, deadline - time.monotonic())):
+            with self._rlock, self._lock:
+                if (self._bytes_since_spawn >= self._recycle_bytes
+                        and seq not in self._results):
+                    self._proc.kill()
                     try:
-                        msg = self._conn.recv()
-                    except (EOFError, OSError):
-                        break  # child died: treat as expiry
-                    got = True
-                    self._handle(msg)
-                    break
-            if got:
-                continue
-            # watchdog expiry or dead child
-            self._respawns += 1
-            self._total_respawns += 1
-            if self._respawns > self.MAX_RESPAWNS:
-                self._proc.kill()
-                raise TimeoutError(
-                    f"device worker unresponsive after {self.MAX_RESPAWNS} "
-                    "respawns (relay wedged end-to-end)"
-                )
-            import subprocess
-            import warnings
-
-            warnings.warn(
-                f"device worker stalled >{timeout:.0f}s (relay wedge); "
-                f"respawning (attempt {self._respawns}) and replaying "
-                f"{len(self._order)} chunk(s)",
-                RuntimeWarning, stacklevel=2,
-            )
-            with self._lock:
-                self._proc.kill()
-                try:
-                    self._proc.wait(timeout=10)
-                except subprocess.TimeoutExpired:
-                    pass
-                self._conn.close()
-                self._spawn()
-                self._replay()
+                        self._proc.wait(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        pass
+                    self._conn.close()
+                    self._spawn()
+                    self._bytes_since_spawn = 0
+                    self._replay()
+        while seq not in self._results:
+            with self._rlock:
+                if seq in self._results:
+                    break  # another reader drained it while we waited
+                self._wait_one()
         return self._results.pop(seq)
+
+    def _wait_one(self):
+        """Receive one message (or ride out one watchdog expiry +
+        respawn).  Called only from :meth:`result` under ``_rlock``."""
+        nbytes = self._outstanding[self._order[0]][4]
+        timeout = _chunk_timeout(nbytes, self._fresh)
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self._conn.poll(min(1.0, deadline - time.monotonic())):
+                try:
+                    msg = self._conn.recv()
+                except (EOFError, OSError):
+                    break  # child died: treat as expiry
+                self._handle(msg)
+                return
+        # watchdog expiry or dead child
+        self._respawns += 1
+        self._total_respawns += 1
+        if self._respawns > self.MAX_RESPAWNS:
+            self._proc.kill()
+            raise TimeoutError(
+                f"device worker unresponsive after {self.MAX_RESPAWNS} "
+                "respawns (relay wedged end-to-end)"
+            )
+        import subprocess
+        import warnings
+
+        warnings.warn(
+            f"device worker stalled >{timeout:.0f}s (relay wedge); "
+            f"respawning (attempt {self._respawns}) and replaying "
+            f"{len(self._order)} chunk(s)",
+            RuntimeWarning, stacklevel=2,
+        )
+        with self._lock:
+            self._proc.kill()
+            try:
+                self._proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
+            self._conn.close()
+            self._spawn()
+            self._replay()
 
     def _handle(self, msg):
         tag = msg[0]
@@ -537,10 +577,24 @@ def next_table_key() -> str:
     return f"t{_table_counter}"
 
 
+def _atexit_close():
+    if _worker is not None:
+        try:
+            _worker.close()
+        except Exception:
+            pass
+
+
 def get_worker() -> DeviceWorker:
     """Process-wide shared worker (one relay session; FIFO chunk order is
     per-submitter because decode planes serialize their own chunks)."""
     global _worker
     if _worker is None or _worker._proc is None:
+        if _worker is None:
+            # interpreter-teardown cleanup must not rely on __del__ firing
+            # (the spool is RAM-backed tmpfs — see _sweep_stale_spools)
+            import atexit
+
+            atexit.register(_atexit_close)
         _worker = DeviceWorker()
     return _worker

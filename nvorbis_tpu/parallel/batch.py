@@ -188,6 +188,14 @@ class BatchDecoder:
             from nvorbis_tpu.utils.jaxinit import ensure_compile_cache
 
             ensure_compile_cache()
+        else:
+            # the host engine needs the page-recycling allocator policy as
+            # much as the device staging planes do (snapshot-VM first-touch
+            # faults cap fresh-buffer pipelines at 10-30 MB/s — measured
+            # 88x vs 594x on the SAME workload without this); jax-free
+            from nvorbis_tpu.utils.hostmem import enable_page_recycling
+
+            enable_page_recycling()
         self.clip_samples = clip_samples
         self._mesh_key = None
         if mesh is not None:

@@ -17,6 +17,34 @@ import os
 _done = False
 
 
+def machine_cache_dir(base: str) -> str:
+    """``base`` suffixed by a machine-feature fingerprint.
+
+    XLA:CPU persists AOT-compiled executables specialized to the host's
+    CPU features; loading them on a host with different features warns
+    ("could lead to execution errors such as SIGILL") and risks exactly
+    that.  Keying the directory by ``machine + cpu flags`` makes every
+    host class its own cache (observed: a virtualized fleet whose nodes
+    restore from shared snapshots but expose different AVX levels)."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                # x86 "flags", arm64 "Features"
+                if ln.startswith(("flags", "Features")):
+                    feats = ln.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}|{feats}"
+    return os.path.join(
+        base, "m-" + hashlib.sha1(key.encode()).hexdigest()[:10]
+    )
+
+
 def ensure_compile_cache() -> None:
     global _done
     if _done:
@@ -39,9 +67,9 @@ def ensure_compile_cache() -> None:
             return
     except AttributeError:
         return
-    path = os.path.join(
+    path = machine_cache_dir(os.path.join(
         os.path.expanduser("~"), ".cache", "nvorbis_tpu", "jax_cache"
-    )
+    ))
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -19,6 +19,21 @@ import sys
 
 _RELAY_ADDR = ("127.0.0.1", 8082)
 
+
+def _relay_addr():
+    """Probe address; ``NVT_RELAY_ADDR=host:port`` overrides (lets tests
+    and bench dry-runs point the probe at a provably dead port to exercise
+    the relay-down ladder end to end).  Falls back to the module global
+    (tests monkeypatch ``_RELAY_ADDR`` directly)."""
+    v = os.environ.get("NVT_RELAY_ADDR")
+    if v:
+        host, _, port = v.rpartition(":")
+        try:
+            return (host or "127.0.0.1", int(port))
+        except ValueError:
+            pass
+    return _RELAY_ADDR
+
 # short-TTL probe memo, keyed by address: every VorbisReader/BatchDecoder
 # construction consults the guard, and a service opening dozens of readers
 # against a SYN-dropping relay would otherwise pay the full connect
@@ -33,7 +48,7 @@ def tpu_link_alive(timeout: float = 3.0) -> bool:
     """One cheap TCP probe of the relay; True if it accepts connections."""
     import time
 
-    addr = _RELAY_ADDR
+    addr = _relay_addr()
     hit = _probe_cache.get(addr)
     now = time.monotonic()
     if hit is not None and now - hit[0] < _PROBE_TTL:

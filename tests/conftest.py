@@ -6,8 +6,13 @@ import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-# persistent compile cache makes repeat suite runs much faster
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# persistent compile cache makes repeat suite runs much faster; keyed by
+# machine features so a cache written on one host class never feeds
+# AOT-mismatched executables (SIGILL risk) to another
+from nvorbis_tpu.utils.jaxinit import machine_cache_dir  # jax-free import
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      machine_cache_dir("/root/repo/.jax_cache"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

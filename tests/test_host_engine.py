@@ -205,6 +205,29 @@ def test_host_engine_clip_semantics():
     r.dispose()
 
 
+def test_host_mode_enables_page_recycling(monkeypatch):
+    """The host engine must install the page-recycling allocator policy
+    exactly like the device planes do — without it a fresh process decodes
+    at first-touch-fault speed (measured 88x vs 594x on the same workload;
+    round-4 regression)."""
+    from nvorbis_tpu.utils import hostmem
+
+    calls = []
+    monkeypatch.setattr(hostmem, "enable_page_recycling",
+                        lambda: calls.append(1))
+    from nvorbis_tpu.parallel.batch import BatchDecoder
+
+    raw = open(fixture("1test.ogg"), "rb").read()
+    bd = BatchDecoder([raw], engine="host")
+    assert bd._host_mode and calls
+    bd.decode_all()
+
+    calls.clear()
+    r = nv.VorbisReader(fixture("3test.ogg"), engine="host")
+    assert calls
+    r.dispose()
+
+
 # ----------------------------------------------------------- jax-free
 
 
