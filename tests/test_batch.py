@@ -14,6 +14,7 @@ def _single(path):
     return nv.VorbisReader(path, engine="jax").read_all()
 
 
+@pytest.mark.slow
 def test_batch_mixed_streams_match_single():
     paths = [
         fixture_path("3test.ogg"),
@@ -29,6 +30,7 @@ def test_batch_mixed_streams_match_single():
         np.testing.assert_allclose(o, ref, atol=2e-7, rtol=0)
 
 
+@pytest.mark.slow
 def test_batch_multi_chunk_stream(tmp_path):
     from nvorbis_tpu.testgen.ogg_writer import make_long_stream
 
@@ -40,6 +42,7 @@ def test_batch_multi_chunk_stream(tmp_path):
     np.testing.assert_allclose(o, ref, atol=2e-7, rtol=0)
 
 
+@pytest.mark.slow
 def test_batch_on_device_mesh():
     import jax
     from jax.sharding import Mesh
@@ -64,6 +67,7 @@ def test_batch_updates_stream_stats_and_position():
     assert st.decoder._stats.packet_count > 0
 
 
+@pytest.mark.slow
 def test_batch_sixteen_streams():
     """Scale check: 16 co-batched streams (mixed fixtures) stay per-stream
     exact — exercises slot/table stacking and the shared-cap chunking."""
@@ -113,6 +117,7 @@ def test_batch_mixed_topologies_and_fixtures():
         assert float(np.abs(got - ref).max()) <= tol
 
 
+@pytest.mark.slow
 def test_batch_heterogeneous_stereo_fleet(tmp_path):
     """The bench's batch64_mixed fleet shape (4 distinct stereo 44.1 kHz
     setups: two real encoder outputs + two synthetic topologies with
@@ -230,6 +235,7 @@ def _corrupt_audio_packet(blob, frac, mode):
         k += 1
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["type", "payload"])
 def test_fast_planes_match_oracle_on_bad_packets(tmp_path, mode):
     """A corrupted (CRC-valid) mid-stream packet must flow through the

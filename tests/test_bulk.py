@@ -117,6 +117,7 @@ def test_long_stream_generator_roundtrip(tmp_path):
     np.testing.assert_allclose(b, pcm_o, atol=2e-6, rtol=0)
 
 
+@pytest.mark.slow
 def test_bulk_multi_chunk_synthetic():
     """A stream spanning multiple device chunks: cross-chunk carry frames
     and the per-size collection caps must keep the lapped output exact."""

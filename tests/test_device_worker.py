@@ -48,6 +48,7 @@ def test_worker_mode_parity(worker_env):
         assert np.max(np.abs(o - ref)) < 2e-6
 
 
+@pytest.mark.slow
 def test_worker_survives_wedge(worker_env, monkeypatch):
     """Child wedges mid-decode after every 2 chunks; the decode must
     complete through kill+respawn+replay, staying on the device path."""
@@ -82,6 +83,7 @@ def test_worker_survives_wedge(worker_env, monkeypatch):
     assert np.max(np.abs(outs[0] - ref)) < 2e-6
 
 
+@pytest.mark.slow
 def test_worker_clean_exit_after_wedge(worker_env):
     """A process that hit a wedge must exit cleanly (the round-2 in-process
     watchdog left a thread parked in the runtime and CPython teardown

@@ -66,6 +66,7 @@ SYNTH_SPECS = {
 }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("engine", ["oracle", "jax"])
 @pytest.mark.parametrize("label", sorted(SYNTH_SPECS))
 def test_synthetic_golden(label, engine):
