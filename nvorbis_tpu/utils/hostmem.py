@@ -44,7 +44,12 @@ def enable_page_recycling() -> bool:
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         ok = libc.mallopt(_M_MMAP_MAX, 0)
-        ok &= libc.mallopt(_M_TRIM_THRESHOLD, 1 << 30)
+        # INT_MAX (mallopt takes an int): never trim below ~2 GB of heap.
+        # The round-3 value (1 GB) sat BELOW a 64-stream fleet's ~1.2 GB
+        # working set, so end-of-decode frees trimmed the top of the heap
+        # and the next decode re-paid first-touch faults — measured as the
+        # batch64 config warming 195x -> 265x -> 439x over constructions.
+        ok &= libc.mallopt(_M_TRIM_THRESHOLD, 0x7FFFFFFF)
     except (OSError, AttributeError):
         return False
     _done = bool(ok)
