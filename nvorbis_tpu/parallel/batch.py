@@ -22,6 +22,7 @@ TPU-native replacement for "run N decoder instances".
 """
 
 import functools
+import os
 from collections import defaultdict
 
 import numpy as np
@@ -197,6 +198,7 @@ class BatchDecoder:
 
             enable_page_recycling()
         self.clip_samples = clip_samples
+        self._staging_pool = {}  # see _dispatch.staged (worker path only)
         self._mesh_key = None
         if mesh is not None:
             self._mesh_key = ("mesh", id(mesh))
@@ -782,6 +784,29 @@ class BatchDecoder:
         for st, r0, r1, _, _ in stream_rows:
             slot_r[r0:r1] = self._stream_slot[id(st)]
 
+        pool_on = self._use_worker and not os.environ.get(
+            "NVT_NO_STAGING_POOL")
+
+        def staged(name, shape, dtype, fill=0):
+            """Per-chunk staging tensor.  Behind the worker path the buffer
+            comes from a per-decoder pool keyed (name, shape, dtype):
+            worker.submit() spools every array to the ring files before
+            returning, so the previous chunk's buffer is free by the time
+            the next chunk stages into it.  In-process mode must NOT pool —
+            jnp.asarray on the CPU backend can alias the numpy buffer, and
+            overwriting an aliased buffer corrupts in-flight results
+            (NOTES round-3 caveat).  NVT_NO_STAGING_POOL=1 opts out."""
+            if not pool_on:
+                return (np.zeros(shape, dtype) if fill == 0
+                        else np.full(shape, fill, dtype))
+            key = (name, shape, np.dtype(dtype).str)
+            buf = self._staging_pool.get(key)
+            if buf is None:
+                buf = np.empty(shape, dtype)
+                self._staging_pool[key] = buf
+            buf.fill(fill)
+            return buf
+
         # bucket sizes present, plus carry-only block sizes
         ns = {int(n) for n in np.unique(bsz[ok])} if ok.any() else set()
         carries = []
@@ -812,18 +837,18 @@ class BatchDecoder:
 
                 st_geom, tabs = self._sym_info[n]
                 n_part, chr_c = st_geom.n_part, st_geom.chr_count
-                cls_b = np.full((B_pad, chr_c, max(1, n_part)),
-                                CLASS_SENTINEL, dtype=np.uint8)
-                base_b = np.zeros(B_pad, dtype=np.int32)
+                cls_b = staged(("cls", n), (B_pad, chr_c, max(1, n_part)),
+                               np.uint8, CLASS_SENTINEL)
+                base_b = staged(("base", n), (B_pad,), np.int32)
                 id_parts = []
                 pos = 0
             else:
-                res_b = np.zeros((B_pad, C, n2), dtype=np.float32)
-            ys_b = np.zeros((B_pad, C, P), dtype=np.int16)
-            used_b = np.zeros((B_pad, C, P), dtype=bool)
-            hf_b = np.zeros((B_pad, C), dtype=bool)
-            widx_b = np.zeros(B_pad, dtype=np.int32)
-            tid_b = np.zeros(B_pad, dtype=np.int32)
+                res_b = staged(("res", n), (B_pad, C, n2), np.float32)
+            ys_b = staged(("ys", n), (B_pad, C, P), np.int16)
+            used_b = staged(("used", n), (B_pad, C, P), bool)
+            hf_b = staged(("hf", n), (B_pad, C), bool)
+            widx_b = staged(("widx", n), (B_pad,), np.int32)
+            tid_b = staged(("tid", n), (B_pad,), np.int32)
 
             j = 0
             for st in cs:
@@ -881,7 +906,7 @@ class BatchDecoder:
                     break
             if self._sym:
                 N_pad = round_ids(pos)
-                flat = np.full(N_pad, -1, dtype=np.int16)
+                flat = staged(("flat", n), (N_pad,), np.int16, -1)
                 if pos:
                     flat[:pos] = np.concatenate(id_parts).astype(np.int16)
                 cfg_buckets.append(("s", B_pad, n, P, W, T, cpl, st_geom,
