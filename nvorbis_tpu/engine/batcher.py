@@ -68,9 +68,9 @@ class JaxPipeline:
         # native host plane (C++), when buildable and the setup is supported
         self._native = None
         try:
-            from nvorbis_tpu.native import NativeUnpacker
+            from nvorbis_tpu.native import unpacker_for
 
-            self._native = NativeUnpacker(decoder._setup, decoder._max_posts)
+            self._native = unpacker_for(decoder._setup, decoder._max_posts)
         except Exception:
             self._native = None
         # tunnel-relay environments: the streaming read path stays on the
@@ -455,7 +455,7 @@ class HostPipeline(JaxPipeline):
     """
 
     def __init__(self, decoder, readahead: int = 2048):
-        from nvorbis_tpu.native import NativeUnpacker
+        from nvorbis_tpu.native import unpacker_for
         from nvorbis_tpu.utils.hostmem import enable_page_recycling
 
         enable_page_recycling()  # see parallel/batch.py host branch
@@ -467,5 +467,5 @@ class HostPipeline(JaxPipeline):
         self._window = 8
         self._synths = {}
         self._win_stacks = {}
-        self._native = NativeUnpacker(decoder._setup, decoder._max_posts)
+        self._native = unpacker_for(decoder._setup, decoder._max_posts)
         self._host_only = True

@@ -53,7 +53,7 @@ def _build_library():
 
 
 def reset():
-    """Forget the cached load outcome.
+    """Forget the cached load outcome (and the shared unpackers).
 
     ``load()`` caches its first success *and* its first failure for the
     process lifetime; tests that toggle ``NVT_NO_NATIVE`` or repair the
@@ -62,6 +62,7 @@ def reset():
     with _lib_lock:
         _lib = None
         _lib_failed = False
+        _unpacker_cache.clear()
 
 
 def load():
@@ -529,3 +530,41 @@ class NativeUnpacker:
             n_threads,
         )
         return classes, ids, ys, used, has_floor, meta
+
+
+_unpacker_cache = {}  # id(setup) -> (setup strong ref, {subkey: unpacker})
+_UNPACKER_CACHE_MAX = 16  # matches the header-keyed setup cache bound
+
+
+def unpacker_for(setup, max_posts):
+    """Shared :class:`NativeUnpacker` for a (cached) setup.
+
+    Construction costs ~7 ms (Python setup serialization + C++ parse +
+    table packing), which dominated small-file decodes — the setup cache
+    (codec/setup.py) already dedupes parsed setups by header bytes, so a
+    service decoding many files of the same encoder class reuses one
+    unpacker.  Unpackers are stateless per call (thread-local scratch in
+    C++; the Setup* is read-only after create), so one instance serves
+    concurrent readers.  The subkey carries the env switches sampled at
+    create time (table width, A/B gates) so tests flipping them get a
+    fresh instance; holding the setup strong ref keeps ``id()`` valid.
+    """
+    sub_key = (
+        max_posts,
+        _native_table_bits(),
+        os.environ.get("NVT_NO_T2CH2") or "",
+        os.environ.get("NVT_FLOOR_DIV") or "",
+    )
+    key = id(setup)
+    hit = _unpacker_cache.get(key)
+    if hit is None or hit[0] is not setup:
+        if len(_unpacker_cache) >= _UNPACKER_CACHE_MAX:
+            _unpacker_cache.pop(next(iter(_unpacker_cache)))
+        hit = (setup, {})
+        _unpacker_cache[key] = hit
+    sub = hit[1]
+    nu = sub.get(sub_key)
+    if nu is None:
+        nu = NativeUnpacker(setup, max_posts)
+        sub[sub_key] = nu
+    return nu

@@ -174,7 +174,7 @@ class BatchDecoder:
     def __init__(self, sources, mesh=None, clip_samples=True,
                  engine: str = "auto"):
         import nvorbis_tpu as nv
-        from nvorbis_tpu.native import NativeUnpacker
+        from nvorbis_tpu.native import unpacker_for
 
         # engine="host" (or auto's tunnel-relay/dead-relay policy,
         # utils/relay.host_engine_preferred) decodes every stream on the
@@ -224,7 +224,7 @@ class BatchDecoder:
                 st.native = unpackers[skey]
             else:
                 try:
-                    st.native = NativeUnpacker(
+                    st.native = unpacker_for(
                         st.decoder._setup, st.decoder._max_posts
                     )
                 except RuntimeError:

@@ -196,7 +196,20 @@ class StreamDecoder:
             except Exception:
                 return _OraclePipeline(self)
         if engine == "auto" and self._short_stream():
-            return _OraclePipeline(self)
+            # short streams skip the DEVICE (a remote dispatch costs ~1 s
+            # of fixed latency: measured 108x host vs 0.9x device on the
+            # 0.39 s fixture) but still prefer the host engine over the
+            # numpy oracle: with the process-wide unpacker cache
+            # (native.unpacker_for) a repeat small-file decode runs ~357x
+            # vs the oracle's ~144x, and the one-time ~7 ms setup build is
+            # negligible in absolute terms.  Setups without a native plane
+            # fall to the oracle as everywhere else.
+            try:
+                from nvorbis_tpu.engine.batcher import HostPipeline
+
+                return HostPipeline(self)
+            except Exception:
+                return _OraclePipeline(self)
         if engine in ("jax", "auto"):
             from nvorbis_tpu.utils.relay import (
                 host_engine_preferred, jax_backend_safe,

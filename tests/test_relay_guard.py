@@ -164,22 +164,34 @@ def test_fetch_watchdog_passthrough_and_retry(monkeypatch):
     assert fetch._with_watchdog(lambda: "direct", nbytes=1 << 40) == "direct"
 
 
-def test_short_stream_auto_uses_oracle(fixture_dir, monkeypatch):
-    """Under engine="auto", streams shorter than NVT_DEVICE_MIN_SECS decode
-    on the host oracle (a remote device pays ~1 s fixed latency per decode:
-    measured 108x host vs 0.9x device on the 0.39 s fixture)."""
+def test_short_stream_auto_skips_device(fixture_dir, monkeypatch):
+    """Under engine="auto", streams shorter than NVT_DEVICE_MIN_SECS never
+    touch the device (a remote device pays ~1 s fixed latency per decode:
+    measured 108x host vs 0.9x device on the 0.39 s fixture) — they decode
+    on the host engine (oracle when no native plane exists)."""
+    from nvorbis_tpu.engine.batcher import HostPipeline
     from nvorbis_tpu.stream_decoder import _OraclePipeline
 
     r = nv.VorbisReader(str(fixture_dir / "1test.ogg"))
-    assert isinstance(r._stream_decoder._pipeline, _OraclePipeline)
+    assert isinstance(r._stream_decoder._pipeline,
+                      (HostPipeline, _OraclePipeline))
+    assert not type(r._stream_decoder._pipeline).__name__ == "JaxPipeline"
     pcm = r.read_all()
     assert len(pcm) > 0
     r.dispose()
 
-    monkeypatch.setenv("NVT_DEVICE_MIN_SECS", "0")
-    r = nv.VorbisReader(str(fixture_dir / "1test.ogg"))
-    assert not isinstance(r._stream_decoder._pipeline, _OraclePipeline)
-    r.dispose()
+    # without the native plane the short-stream lane is the numpy oracle
+    monkeypatch.setenv("NVT_NO_NATIVE", "1")
+    from nvorbis_tpu import native as native_mod
+
+    native_mod.reset()
+    try:
+        r = nv.VorbisReader(str(fixture_dir / "1test.ogg"))
+        assert isinstance(r._stream_decoder._pipeline, _OraclePipeline)
+        r.dispose()
+    finally:
+        monkeypatch.delenv("NVT_NO_NATIVE")
+        native_mod.reset()
 
 
 def test_bulk_timeout_recovers_on_oracle(fixture_dir, monkeypatch):
