@@ -296,6 +296,7 @@ class HostBulkDecoder:
         maxabs = np.zeros(1, dtype=np.float32)
         self.maxabs = None
         while not provider_done:
+            inv_perm = None  # spec rows permuted (mode-sorted) when set
             if cursor is not None:
                 size_counts = {}
                 with span("host.pull"):
@@ -307,7 +308,37 @@ class HostBulkDecoder:
                 if job is None:
                     break
                 with span("host.unpack"):
-                    if self._spec:
+                    if (self._fused and mfb <= 7
+                            and not os.environ.get(
+                                "NVT_NO_SORTED_UNPACK")):
+                        # unpack the chunk's packets in mode-sorted order
+                        # (peeked from each packet's first byte) so every
+                        # synthesis bucket below is a contiguous row range
+                        # — the DCT consumes slices instead of paying a
+                        # ~17 MB gather copy per chunk.  No packet bytes
+                        # move: the C++ side takes per-packet spans.
+                        data_v, off_v = job["view"]
+                        first = data_v[off_v[:-1]]
+                        mkey = ((first.astype(np.int64) >> 1)
+                                & ((1 << mfb) - 1))
+                        if np.any(mkey[1:] < mkey[:-1]):
+                            perm = np.argsort(
+                                mkey, kind="stable").astype(np.int64)
+                            starts = np.ascontiguousarray(off_v[:-1][perm])
+                            ends = np.ascontiguousarray(off_v[1:][perm])
+                            residue, meta_p = self._native.unpack_spec_sv(
+                                data_v, starts, ends
+                            )
+                            inv_perm = np.empty_like(perm)
+                            inv_perm[perm] = np.arange(
+                                len(perm), dtype=np.int64)
+                            meta = meta_p[inv_perm]  # original frame order
+                        else:
+                            residue, meta = self._native.unpack_spec_view(
+                                *job["view"]
+                            )
+                        ys = used = has_floor = None
+                    elif self._spec:
                         residue, meta = self._native.unpack_spec_view(
                             *job["view"]
                         )
@@ -378,9 +409,21 @@ class HostBulkDecoder:
                         idx = np.flatnonzero(ok & (mode_r == m))
                         n = setup.modes[int(m)].block_size
                         if self._fused:
+                            if inv_perm is not None:
+                                rows = inv_perm[idx]
+                                lo = int(rows[0])
+                                if len(rows) == int(rows[-1]) - lo + 1:
+                                    # the common case by construction:
+                                    # contiguous mode bucket, zero-copy
+                                    # for the full-width mode
+                                    sel = residue[lo : lo + len(rows)]
+                                else:  # bad frames punched holes
+                                    sel = residue[rows]
+                            else:
+                                sel = residue[idx]
                             with span("host.dct"):
                                 g = _dct4(
-                                    residue[idx, :, : n // 2].reshape(
+                                    sel[:, :, : n // 2].reshape(
                                         -1, n // 2
                                     ),
                                     type=4, axis=-1,

@@ -120,6 +120,16 @@ def load():
                 ctypes.c_void_p,  # meta
                 ctypes.c_int32,   # n_threads
             ]
+            lib.nvt_unpack_window_spec_sv.argtypes = [
+                ctypes.c_void_p,  # setup
+                ctypes.c_void_p,  # bytes
+                ctypes.c_void_p,  # starts
+                ctypes.c_void_p,  # ends
+                ctypes.c_int32,   # n_packets
+                ctypes.c_void_p,  # spec
+                ctypes.c_void_p,  # meta
+                ctypes.c_int32,   # n_threads
+            ]
             lib.nvt_has_spec.restype = ctypes.c_int32
             lib.nvt_has_spec.argtypes = [ctypes.c_void_p]
             lib.nvt_imdct_finish.argtypes = [
@@ -468,6 +478,27 @@ class NativeUnpacker:
             self._handle,
             buf.ctypes.data,
             offsets.ctypes.data,
+            B,
+            spec.ctypes.data,
+            meta.ctypes.data,
+            n_threads,
+        )
+        return spec, meta
+
+    def unpack_spec_sv(self, buf, starts, ends, n_threads=0):
+        """Spectrum unpack over permuted per-packet spans (int64 arrays):
+        packet ``k`` is ``buf[starts[k]:ends[k]]`` and writes spec/meta row
+        ``k`` — the host engine passes a mode-sorted permutation so each
+        synthesis bucket is a contiguous row range (engine/host.py)."""
+        B = len(starts)
+        C, n2 = self.channels, self.n2max
+        spec = np.empty((B, C, n2), dtype=np.float32)
+        meta = np.empty((B, 8), dtype=np.int32)
+        self._lib.nvt_unpack_window_spec_sv(
+            self._handle,
+            buf.ctypes.data,
+            starts.ctypes.data,
+            ends.ctypes.data,
             B,
             spec.ctypes.data,
             meta.ctypes.data,

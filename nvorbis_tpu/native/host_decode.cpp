@@ -1191,6 +1191,48 @@ void nvt_unpack_window_spec(void* setup, const uint8_t* bytes,
   for (auto& th : threads) th.join();
 }
 
+// Scatter/gather variant of nvt_unpack_window_spec: per-packet byte spans
+// arrive as separate (starts, ends) arrays instead of contiguous
+// boundaries, so the caller can unpack packets in a PERMUTED order (the
+// host engine sorts a chunk's packets by mode, making each synthesis
+// bucket a contiguous row range — no per-bucket gather copy) without
+// moving any packet bytes.
+void nvt_unpack_window_spec_sv(void* setup, const uint8_t* bytes,
+                               const int64_t* starts, const int64_t* ends,
+                               int32_t n_packets,
+                               float* spec,     // [n_packets, C, n2max]
+                               int32_t* meta,   // [n_packets, 8]
+                               int32_t n_threads) {
+  Setup* s = (Setup*)setup;
+  int C = s->channels;
+  int64_t n2max = s->n2max;
+
+  auto work = [&](int k) {
+    unpack_one_spec(*s, bytes + starts[k], ends[k] - starts[k],
+                    spec + (int64_t)k * C * n2max, meta + (int64_t)k * 8);
+  };
+
+  int hw = (int)std::thread::hardware_concurrency();
+  int nt = n_threads > 0 ? n_threads : std::max(1, std::min(hw, 16));
+  nt = std::min(nt, n_packets);
+  if (nt <= 1) {
+    for (int k = 0; k < n_packets; ++k) work(k);
+    return;
+  }
+  std::atomic<int> next(0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&]() {
+      for (;;) {
+        int k = next.fetch_add(1);
+        if (k >= n_packets) break;
+        work(k);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
 // has the spectrum-mode entry point (and the blob carried inv_db)?
 int32_t nvt_has_spec(void* setup) {
   return ((Setup*)setup)->inv_db != nullptr ? 1 : 0;
