@@ -1281,12 +1281,48 @@ void nvt_ola(const float* rows_all,  // [rows, C, n_max]
                                       // (the callers' whole-output
                                       // np.abs scan was ~0.15 s/round)
   float mx = maxabs_io ? *maxabs_io : 0.0f;
+  const bool two = (C == 2) && !std::getenv("NVT_NO_OLA2");
   for (int64_t k = 0; k < nseg; ++k) {
     int64_t L = lens[k];
     if (L <= 0) continue;
     float* o = out + s[k] * C;
     int64_t pr = prim[k], r = pr / n_max, off = pr % n_max;
     int64_t S = sl[k];
+    if (two) {
+      // stereo lane: both channels in one pass, contiguous interleaved
+      // stores, instead of two strided passes over the output
+      const float* p0 = rows_all + (r * 2) * n_max + off;
+      const float* p1 = rows_all + (r * 2 + 1) * n_max + off;
+      for (int64_t t = 0; t < S; ++t) {
+        o[2 * t] = p0[t];
+        o[2 * t + 1] = p1[t];
+      }
+      for (int64_t t = S; t < L; ++t) {
+        float v0 = p0[t], v1 = p1[t];
+        o[2 * t] = v0;
+        o[2 * t + 1] = v1;
+        float a0 = v0 < 0 ? -v0 : v0;
+        float a1 = v1 < 0 ? -v1 : v1;
+        if (a0 > mx) mx = a0;
+        if (a1 > mx) mx = a1;
+      }
+      if (S > 0) {
+        int64_t sc = sec[k], r2 = sc / n_max, off2 = sc % n_max;
+        const float* q0 = rows_all + (r2 * 2) * n_max + off2;
+        const float* q1 = rows_all + (r2 * 2 + 1) * n_max + off2;
+        for (int64_t t = 0; t < S; ++t) {
+          float v0 = o[2 * t] + q0[t];
+          float v1 = o[2 * t + 1] + q1[t];
+          o[2 * t] = v0;
+          o[2 * t + 1] = v1;
+          float a0 = v0 < 0 ? -v0 : v0;
+          float a1 = v1 < 0 ? -v1 : v1;
+          if (a0 > mx) mx = a0;
+          if (a1 > mx) mx = a1;
+        }
+      }
+      continue;
+    }
     for (int c = 0; c < C; ++c) {
       const float* p = rows_all + (r * C + c) * n_max + off;
       // [0, S) is pre-overlap (final value lands in the add below);
