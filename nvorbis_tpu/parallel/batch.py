@@ -215,6 +215,9 @@ class BatchDecoder:
         unpackers = {}  # id(setup) -> NativeUnpacker|None (setups are
         # shared across same-header streams via the setup cache, and the
         # unpacker is stateless per call, so one instance serves them all)
+        tables_by_src = {}  # (id(src), serial) -> packet table: duplicate
+        # source objects (a fleet decoding N copies of one blob) share one
+        # container packetization pass; tables are read-only per cursor
         for src in sources:
             st = _StreamState()
             st.reader = nv.VorbisReader(src, engine="oracle")
@@ -246,7 +249,13 @@ class BatchDecoder:
                     PacketTableCursor, table_for_decoder,
                 )
 
-                table = table_for_decoder(st.decoder)
+                tkey = (id(src),
+                        st.decoder._packet_provider.stream_serial)
+                if tkey in tables_by_src:
+                    table = tables_by_src[tkey]
+                else:
+                    table = table_for_decoder(st.decoder)
+                    tables_by_src[tkey] = table
                 if table is not None:
                     st.table = table
                     st.cursor = PacketTableCursor(table)
