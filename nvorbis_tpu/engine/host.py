@@ -36,6 +36,7 @@ import os
 
 import numpy as np
 
+from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
 from nvorbis_tpu.engine.plan import (
     CAP_PER_SIZE,
     CHUNK_FRAMES,
@@ -219,10 +220,15 @@ class HostBulkDecoder:
     XLA program replaced by :class:`HostSynth` and the device fetch by a
     direct write into the interleaved output buffer."""
 
-    def __init__(self, decoder, native, table=None):
+    def __init__(self, decoder, native, table=None, clip=False):
         self._dec = decoder
         self._native = native
         self._table = table  # pre-built packet table (parallel/batch.py)
+        # clip=True clamps final samples to +/-CLIP_LIMIT at OLA store
+        # time (identical values to a post-hoc np.clip, which cost
+        # ~0.15 s/round on clipping content); self.maxabs always reports
+        # the PRE-clamp magnitude for has_clipped
+        self._clip = clip
         self._last_plan = None
         self._synth = HostSynth(decoder._setup)
         # spectrum mode: coupling + floor render fused into the C++ unpack
@@ -245,7 +251,8 @@ class HostBulkDecoder:
 
     def run(self):
         """Decode the remainder of the stream; returns interleaved float32
-        (unclipped, like BulkDecoder.run — the caller clips)."""
+        (clamped to +/-CLIP_LIMIT when constructed with clip=True;
+        ``self.maxabs`` carries the pre-clamp magnitude either way)."""
         from nvorbis_tpu.ogg.fast_packets import (
             PacketTableCursor,
             plan_job_arr,
@@ -290,9 +297,10 @@ class HostBulkDecoder:
         carry = None  # (pcm row [C, n_max] f32, FramePlan) of last good frame
         chunk_base = 0
         provider_done = False
-        # fused lane: clip detection rides the C++ OLA (every output sample
-        # passes through it exactly once as its final value); the numpy
-        # lane leaves self.maxabs None and callers scan the output instead
+        # clip detection (and, with clip=True, the clamp itself) rides the
+        # OLA pass on both lanes: every output sample goes through it
+        # exactly once as its final value.  self.maxabs reports the
+        # pre-clamp magnitude after run()
         maxabs = np.zeros(1, dtype=np.float32)
         self.maxabs = None
         while not provider_done:
@@ -490,12 +498,22 @@ class HostBulkDecoder:
                                 c_sec.ctypes.data, c_sl.ctypes.data,
                                 lens.ctypes.data, nseg, out.ctypes.data,
                                 maxabs.ctypes.data,
+                                CLIP_LIMIT if self._clip else 0.0,
                             )
                     else:
                         _overlap_add(
                             out, rows_all, n_max, c_s, c_prim, c_sec,
                             c_sl, L_real,
                         )
+                        if out.size:
+                            # same chunk-local semantics as the fused
+                            # lane: track pre-clamp magnitude, then clip
+                            m = max(float(out.max()), -float(out.min()))
+                            if m > maxabs[0]:
+                                maxabs[0] = m
+                            if self._clip:
+                                np.clip(out, -CLIP_LIMIT, CLIP_LIMIT,
+                                        out=out)
                 chunk_base = planner.emitted
 
             good = np.flatnonzero(ok)
@@ -512,8 +530,7 @@ class HostBulkDecoder:
         dec._current_position = planner.stream_pos0 + planner.emitted
         dec._has_position = planner.has_position
 
-        if self._fused:
-            self.maxabs = float(maxabs[0])
+        self.maxabs = float(maxabs[0])
         if pcm is not None:
             return pcm[: max(0, planner.emitted)].reshape(-1)
         if not chunks:

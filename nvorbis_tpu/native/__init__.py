@@ -155,6 +155,7 @@ def load():
                 ctypes.c_int64,   # nseg
                 ctypes.c_void_p,  # out
                 ctypes.c_void_p,  # maxabs in/out (f32 scalar; NULL = skip)
+                ctypes.c_float,   # clip_limit (>0: clamp at store time)
             ]
             lib.nvt_crc32.restype = ctypes.c_uint32
             lib.nvt_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]

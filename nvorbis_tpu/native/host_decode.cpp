@@ -1275,12 +1275,30 @@ void nvt_ola(const float* rows_all,  // [rows, C, n_max]
              const int64_t* s, const int64_t* prim, const int64_t* sec,
              const int64_t* sl, const int64_t* lens, int64_t nseg,
              float* out,              // [L, C] interleaved
-             float* maxabs_io) {      // running max |sample| (in/out) —
+             float* maxabs_io,        // running max |sample| (in/out) —
                                       // clip detection fused into the pass
                                       // that already touches every sample
                                       // (the callers' whole-output
                                       // np.abs scan was ~0.15 s/round)
+             float clip_limit) {      // > 0: clamp final samples to
+                                      // [-limit, limit] at store time
+                                      // (same values as a post-hoc
+                                      // np.clip over the output, which
+                                      // cost another ~0.15 s/round on
+                                      // clipping content); maxabs still
+                                      // reports the PRE-clamp magnitude
+                                      // so has_clipped semantics hold
   float mx = maxabs_io ? *maxabs_io : 0.0f;
+  const bool cl = clip_limit > 0.0f;
+  auto fin = [&](float v) {
+    float a = v < 0 ? -v : v;
+    if (a > mx) mx = a;
+    if (cl) {
+      if (v > clip_limit) return clip_limit;
+      if (v < -clip_limit) return -clip_limit;
+    }
+    return v;
+  };
   const bool two = (C == 2) && !std::getenv("NVT_NO_OLA2");
   for (int64_t k = 0; k < nseg; ++k) {
     int64_t L = lens[k];
@@ -1298,27 +1316,16 @@ void nvt_ola(const float* rows_all,  // [rows, C, n_max]
         o[2 * t + 1] = p1[t];
       }
       for (int64_t t = S; t < L; ++t) {
-        float v0 = p0[t], v1 = p1[t];
-        o[2 * t] = v0;
-        o[2 * t + 1] = v1;
-        float a0 = v0 < 0 ? -v0 : v0;
-        float a1 = v1 < 0 ? -v1 : v1;
-        if (a0 > mx) mx = a0;
-        if (a1 > mx) mx = a1;
+        o[2 * t] = fin(p0[t]);
+        o[2 * t + 1] = fin(p1[t]);
       }
       if (S > 0) {
         int64_t sc = sec[k], r2 = sc / n_max, off2 = sc % n_max;
         const float* q0 = rows_all + (r2 * 2) * n_max + off2;
         const float* q1 = rows_all + (r2 * 2 + 1) * n_max + off2;
         for (int64_t t = 0; t < S; ++t) {
-          float v0 = o[2 * t] + q0[t];
-          float v1 = o[2 * t + 1] + q1[t];
-          o[2 * t] = v0;
-          o[2 * t + 1] = v1;
-          float a0 = v0 < 0 ? -v0 : v0;
-          float a1 = v1 < 0 ? -v1 : v1;
-          if (a0 > mx) mx = a0;
-          if (a1 > mx) mx = a1;
+          o[2 * t] = fin(o[2 * t] + q0[t]);
+          o[2 * t + 1] = fin(o[2 * t + 1] + q1[t]);
         }
       }
       continue;
@@ -1328,23 +1335,14 @@ void nvt_ola(const float* rows_all,  // [rows, C, n_max]
       // [0, S) is pre-overlap (final value lands in the add below);
       // [S, L) is final here
       for (int64_t t = 0; t < S; ++t) o[t * C + c] = p[t];
-      for (int64_t t = S; t < L; ++t) {
-        float v = p[t];
-        o[t * C + c] = v;
-        float a = v < 0 ? -v : v;
-        if (a > mx) mx = a;
-      }
+      for (int64_t t = S; t < L; ++t) o[t * C + c] = fin(p[t]);
     }
     if (S > 0) {
       int64_t sc = sec[k], r2 = sc / n_max, off2 = sc % n_max;
       for (int c = 0; c < C; ++c) {
         const float* p = rows_all + (r2 * C + c) * n_max + off2;
-        for (int64_t t = 0; t < S; ++t) {
-          float v = o[t * C + c] + p[t];
-          o[t * C + c] = v;
-          float a = v < 0 ? -v : v;
-          if (a > mx) mx = a;
-        }
+        for (int64_t t = 0; t < S; ++t)
+          o[t * C + c] = fin(o[t * C + c] + p[t]);
       }
     }
   }

@@ -385,15 +385,12 @@ class BatchDecoder:
                 pcm = st.reader.read_all()
             else:
                 st.decoder._started = True
-                hb = HostBulkDecoder(st.decoder, st.native, table=st.table)
+                hb = HostBulkDecoder(st.decoder, st.native, table=st.table,
+                                     clip=self.clip_samples)
                 pcm = hb.run()
-                if self.clip_samples and pcm.size:
-                    mx = hb.maxabs  # fused C++ OLA tracks max |sample|
-                    if mx is None:
-                        mx = float(np.abs(pcm).max())
-                    if mx > CLIP_LIMIT:
-                        st.decoder._has_clipped = True
-                        pcm = np.clip(pcm, -CLIP_LIMIT, CLIP_LIMIT)
+                # the clamp rides the OLA store; maxabs is pre-clamp
+                if self.clip_samples and hb.maxabs > CLIP_LIMIT:
+                    st.decoder._has_clipped = True
             st.out = [pcm]
             st.done = True
             results.append(pcm)

@@ -348,17 +348,11 @@ class StreamDecoder:
             from nvorbis_tpu.engine.host import HostBulkDecoder
 
             self._started = True
-            hb = HostBulkDecoder(self, native)
+            hb = HostBulkDecoder(self, native, clip=self.clip_samples)
             pcm = hb.run()
-            if self.clip_samples and pcm.size:
-                # fused lane: max |sample| tracked inside the C++ OLA;
-                # numpy lane scans the output
-                mx = hb.maxabs
-                if mx is None:
-                    mx = float(np.abs(pcm).max())
-                if mx > CLIP_LIMIT:
-                    self._has_clipped = True
-                    pcm = np.clip(pcm, -CLIP_LIMIT, CLIP_LIMIT)
+            # the clamp rides the OLA store; maxabs is pre-clamp
+            if self.clip_samples and hb.maxabs > CLIP_LIMIT:
+                self._has_clipped = True
             return pcm
         from nvorbis_tpu.engine.bulk import BulkDecoder
 
