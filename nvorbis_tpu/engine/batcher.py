@@ -21,6 +21,7 @@ only pairwise, so a whole window of frames can be synthesized in parallel
 and lapped afterwards.
 """
 
+import os
 from collections import deque
 
 import numpy as np
@@ -229,13 +230,15 @@ class JaxPipeline:
     def _fill_native_host(self, window=None):
         """C++ unpack -> batched numpy synthesis, no device touch.
 
-        Output matches the oracle fill bit-for-bit in practice on the
-        tested fixtures (same f32 coupling, f32 curve multiply, f64 IMDCT
-        matmul, f32 window multiply); the guaranteed bound is the 5e-6
-        parity tolerance — the batched [b*C, n2] dgemm is not formally
-        row-identical to the oracle's per-channel products."""
+        Uses the host engine's spectrum lane when available: the C++
+        unpack fuses residue decode, inverse coupling and the floor curve
+        multiply (bit-identical to the Python stages), and the IMDCT is
+        the O(n log n) DCT-IV — the same pipeline engine/host.py runs, so
+        ramp/streaming reads match bulk reads bit-for-bit.  Numerics
+        match the oracle fill to the 5e-6 parity tolerance.  The legacy
+        dense lane (f64 basis matmul) remains for setups without the
+        spectrum unpack."""
         from nvorbis_tpu.codec.floor import INVERSE_DB_TABLE
-        from nvorbis_tpu.synth.oracle import imdct_basis
 
         dec = self._decoder
         setup = dec._setup
@@ -246,6 +249,34 @@ class JaxPipeline:
         packets, raw = self._pull_packets(window)
         if not packets:
             return []
+
+        spec_lane = (
+            getattr(self._native, "has_spec", False)
+            and not os.environ.get("NVT_HOST_NO_SPEC")
+            and not os.environ.get("NVT_HOST_F64")
+        )
+        if spec_lane:
+            from nvorbis_tpu.engine.host import HostSynth
+
+            spec, meta = self._native.unpack_spec(raw, n_threads=1)
+            results, buckets = self._results_from_meta(packets, meta,
+                                                       setup)
+            synth = getattr(self, "_host_synth", None)
+            if synth is None:
+                synth = self._host_synth = HostSynth(setup)
+            for mode_idx, rows in buckets.items():
+                n = setup.modes[mode_idx].block_size
+                idx = np.asarray(rows)
+                pcm = synth.synthesize_spec(
+                    mode_idx, spec[idx][:, :, : n // 2],
+                    meta[idx, 2].astype(np.int64),
+                )
+                for k, ri in enumerate(rows):
+                    results[ri].pcm = pcm[k]
+            return results
+
+        from nvorbis_tpu.synth.oracle import imdct_basis
+
         residue, ys, used, has_floor, meta = self._native.unpack(
             raw, n_threads=1
         )
