@@ -250,6 +250,13 @@ class JaxPipeline:
         if not packets:
             return []
 
+        if window >= 64:
+            # sustained sequential reading: worth the process-global
+            # allocator policy (tiny one-shot clip decodes never get here)
+            from nvorbis_tpu.utils.hostmem import enable_page_recycling
+
+            enable_page_recycling()
+
         spec_lane = (
             getattr(self._native, "has_spec", False)
             and not os.environ.get("NVT_HOST_NO_SPEC")
@@ -487,9 +494,12 @@ class HostPipeline(JaxPipeline):
 
     def __init__(self, decoder, readahead: int = 2048):
         from nvorbis_tpu.native import unpacker_for
-        from nvorbis_tpu.utils.hostmem import enable_page_recycling
 
-        enable_page_recycling()  # see parallel/batch.py host branch
+        # NB: the page-recycling allocator policy is NOT applied here —
+        # it is a process-global, irreversible mallopt, and this
+        # constructor runs for every short-clip open under engine="auto".
+        # Bulk decodes (HostBulkDecoder) and sustained streaming fills
+        # (>= 64 frames, below) apply it where the win is measured.
         self._decoder = decoder
         self._max_readahead = readahead
         self._queue = deque()

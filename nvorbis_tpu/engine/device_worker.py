@@ -116,8 +116,10 @@ def _sweep_stale_spools():
         tag = os.path.basename(d)[len("nvt-dw-"):]
         pid_s = tag.split("-", 1)[0]
         if not pid_s.isdigit():
-            # pre-round-4 layout (no pid): only safe to treat as stale
-            shutil.rmtree(d, ignore_errors=True)
+            # pre-round-4 layout (no pid in the name): could belong to a
+            # LIVE older-version process on this machine — leave it (its
+            # own close()/__del__ cleans up; the leak-on-SIGKILL fix only
+            # covers spools this version created)
             continue
         pid = int(pid_s)
         if pid == os.getpid():

@@ -229,6 +229,11 @@ class HostBulkDecoder:
         # ~0.15 s/round on clipping content); self.maxabs always reports
         # the PRE-clamp magnitude for has_clipped
         self._clip = clip
+        # whole-stream decode: the page-recycling win is measured here
+        # (see utils/hostmem.py; NVT_NO_MALLOPT opts out)
+        from nvorbis_tpu.utils.hostmem import enable_page_recycling
+
+        enable_page_recycling()
         self._last_plan = None
         self._synth = HostSynth(decoder._setup)
         # spectrum mode: coupling + floor render fused into the C++ unpack

@@ -232,6 +232,22 @@ def plan_window(planner, start, valid, total, gran, has_gran, eos, blocks):
             # the default position — replicate by falling back
             if not planner.has_position:
                 return None
+            # the no-op-clamp precondition above used the PRE-trim span;
+            # if the trimmed final span is now shorter than the previous
+            # frame's lapped tail, the sequential path would clamp that
+            # tail (add(): prev_plan.total <- fit the post-trim room) —
+            # fall back so it does (OLA otherwise gets a secondary
+            # overlap longer than the final segment; found by review,
+            # reproduced as a numpy-lane broadcast crash on any
+            # multi-chunk stream whose final granule trim bites)
+            trimmed_vs = int(vs[n - 1]) + diff
+            room_t = max(0, min(int(blocks[n - 1] - start[n - 1]),
+                                trimmed_vs))
+            p_tot = int(total[n - 2]) if n > 1 else (
+                p_total0 if p_total0 is not None else None)
+            p_val = int(valid[n - 2]) if n > 1 else p_valid0
+            if p_tot is not None and p_tot > p_val + room_t:
+                return None
             trim_valid += diff
             samples[n - 1] += diff
             valid = valid.copy()
@@ -312,6 +328,11 @@ def build_segments(pa, rof, n_max, prev_plan, carry_row, chunk_base):
             prim_ = prim_ + d
             sec_ = sec_ + d
             sl_ = np.maximum(0, sl_ - d)
+        # defensive: a secondary overlap can never exceed its segment (the
+        # planner guarantees this for spec-valid streams and falls back to
+        # the sequential clamp otherwise, but the OLA kernels write sl
+        # samples unconditionally — keep the invariant local)
+        np.minimum(sl_, length, out=sl_)
         keep = length > 0
         return s_[keep], prim_[keep], sec_[keep], sl_[keep]
 

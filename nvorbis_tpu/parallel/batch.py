@@ -26,17 +26,19 @@ import os
 from collections import defaultdict
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from nvorbis_tpu.codec.floor import Floor1
-from nvorbis_tpu.engine.bulk import (
-    StreamPlanner, _round_up, peek_mode_index, CAP_PER_SIZE, CHUNK_FRAMES,
-    L_QUANTUM,
+from nvorbis_tpu.engine.plan import (
+    StreamPlanner, round_up as _round_up, peek_mode_index, CAP_PER_SIZE,
+    CHUNK_FRAMES, L_QUANTUM,
 )
 from nvorbis_tpu.ogg.fast_packets import plan_job_arr
-from nvorbis_tpu.synth.device import synth_spectra, floor1_bin_map, _XS_PAD
 from nvorbis_tpu.synth.oracle import imdct_basis
+
+# jax (and the jax-backed synthesis module) import lazily inside the
+# device-only paths: BatchDecoder(engine="host") must work — and stay
+# fast to import — in environments where jax is absent entirely (the
+# host engine's jax-free promise, tests/test_host_engine.py)
 from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
 from nvorbis_tpu.utils.fetch import (
     block_ready, fetch_pcm, int16_transport_enabled, ready_on_main,
@@ -66,6 +68,11 @@ def _batch_program(cfg, mesh_key=None):
     classes [B,CHR,n_part], ids_flat [N_pad], frame_base [B] and append the
     five plan tables; then segE [S_pad+1], prim, sec, sec_len.
     """
+    import jax
+    import jax.numpy as jnp
+
+    from nvorbis_tpu.synth.device import synth_spectra
+
     C, L_pad, S_pad, buckets, clip, i16 = cfg
     n_max = max(b[2] for b in buckets)
 
@@ -413,6 +420,8 @@ class BatchDecoder:
         P = max(st.decoder._max_posts for st in members)
         n_modes = len(setup0.modes)
 
+        from nvorbis_tpu.synth.device import floor1_bin_map, _XS_PAD
+
         # table id = stream_index * n_modes + mode_index
         xs_tables = {}   # block size -> np [T, C, P]
         win_tables = {}  # block size -> np [T, W, n]
@@ -513,6 +522,8 @@ class BatchDecoder:
                 )
             self._wrap = lambda a: ("a", np.asarray(a))
         else:
+            import jax.numpy as jnp
+
             xs_dev = {n: jnp.asarray(v) for n, v in xs_tables.items()}
             sl_dev = {n: jnp.asarray(v) for n, v in sl_np.items()}
             win_dev = {n: jnp.asarray(v) for n, v in win_tables.items()}
@@ -946,82 +957,22 @@ class BatchDecoder:
             prev_plan = st.carry[1] if st.carry is not None else None
             prev_row = carry_rows.get(sid)
             okm = ok[r0:r1]
-            all_good = bool(okm.all())
-            if all_good and r1 > r0:
-                # fast path: every frame laps its predecessor (the carry
-                # frame for the first row)
-                A_c = arr[r0:r1, 1]
-                st_c = arr[r0:r1, 2]
-                v_c = arr[r0:r1, 3]
-                t_c = arr[r0:r1, 4]
-                grs = gr[r0:r1]
-                s_ = A_c - chunk_base
-                length = v_c - st_c
-                prim_ = grs * n_max + st_c
-                sec_ = np.zeros(r1 - r0, dtype=np.int64)
-                sl_ = np.zeros(r1 - r0, dtype=np.int64)
-                sl_[1:] = t_c[:-1] - v_c[:-1]
-                sec_[1:] = grs[:-1] * n_max + v_c[:-1]
-                if prev_plan is not None:
-                    sl_[0] = prev_plan.total - prev_plan.valid
-                    sec_[0] = prev_row * n_max + prev_plan.valid
-                # clip lead-ins (a stream's first-ever frame plans s<0)
-                d = np.maximum(0, -s_)
-                if d.any():
-                    s_ = s_ + d
-                    length = length - d
-                    prim_ = prim_ + d
-                    sec_ = sec_ + d
-                    sl_ = np.maximum(0, sl_ - d)
-                keep = length > 0
-                seg_s.append(out_off + s_[keep])
-                seg_prim.append(prim_[keep])
-                seg_sec.append(sec_[keep])
-                seg_sl.append(sl_[keep])
-            elif r1 > r0:
-                # scalar walk: bad frames drain the previous tail once
-                # (StreamDecoder.cs:352-356 silence-drain semantics)
-                if prev_plan is not None:
-                    p_pos, p_start = prev_plan.pos_base, prev_plan.start
-                    p_valid, p_total = prev_plan.valid, prev_plan.total
-                    p_row = prev_row
-                    drained = False
-                else:
-                    p_pos = p_start = p_valid = p_total = p_row = 0
-                    drained = True
-                s_segs = []
-                for i in range(r0, r1):
-                    if not arr[i, 0]:
-                        if not drained:
-                            s = p_pos + (p_valid - p_start) - chunk_base
-                            s_segs.append((s, p_total - p_valid,
-                                           p_row * n_max + p_valid, 0, 0))
-                            drained = True
-                        continue
-                    s = arr[i, 1] - chunk_base
-                    length = arr[i, 3] - arr[i, 2]
-                    sec_flat = sec_len_ = 0
-                    if not drained:
-                        sec_len_ = p_total - p_valid
-                        sec_flat = p_row * n_max + p_valid
-                    s_segs.append((s, length, gr[i] * n_max + arr[i, 2],
-                                   sec_flat, sec_len_))
-                    p_pos, p_start = arr[i, 1], arr[i, 2]
-                    p_valid, p_total = arr[i, 3], arr[i, 4]
-                    p_row = gr[i]
-                    drained = False
-                for s, length, pr_, se_, sl2 in s_segs:
-                    if s < 0:
-                        d = -s
-                        s, length = 0, length - d
-                        pr_ += d
-                        se_ += d
-                        sl2 = max(0, sl2 - d)
-                    if length > 0:
-                        seg_s.append(np.array([out_off + s], dtype=np.int64))
-                        seg_prim.append(np.array([pr_], dtype=np.int64))
-                        seg_sec.append(np.array([se_], dtype=np.int64))
-                        seg_sl.append(np.array([sl2], dtype=np.int64))
+            if r1 > r0:
+                # the shared lapping-segment formulation (engine/plan.py;
+                # the host/bulk planes call the same function) with this
+                # stream's flat-row map and output offset — a third
+                # hand-maintained copy of the walk lived here until the
+                # round-4 review
+                from nvorbis_tpu.engine.plan import build_segments
+
+                s_, prim_, sec_, sl_ = build_segments(
+                    arr[r0:r1], gr[r0:r1], n_max, prev_plan,
+                    prev_row if prev_row is not None else 0, chunk_base,
+                )
+                seg_s.append(out_off + s_)
+                seg_prim.append(prim_)
+                seg_sec.append(sec_)
+                seg_sl.append(sl_)
 
             length_total = st.planner.emitted - chunk_base
             if length_total > 0:

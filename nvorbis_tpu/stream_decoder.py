@@ -181,7 +181,19 @@ class StreamDecoder:
         import os
 
         if engine == "auto" and os.environ.get("NVT_ENGINE"):
-            engine = os.environ["NVT_ENGINE"]
+            v = os.environ["NVT_ENGINE"]
+            if v in ("host", "jax", "oracle", "auto"):
+                engine = v
+            else:
+                # a typo'd global env knob must not turn every open()
+                # into a hard failure — warn once and keep auto
+                import warnings
+
+                warnings.warn(
+                    f"ignoring unknown NVT_ENGINE={v!r} "
+                    "(expected host/jax/oracle/auto)",
+                    RuntimeWarning, stacklevel=3,
+                )
         if engine == "oracle":
             return _OraclePipeline(self)
         if engine == "host":

@@ -205,6 +205,28 @@ def test_host_engine_clip_semantics():
     r.dispose()
 
 
+@pytest.mark.parametrize("env", ["NVT_HOST_NO_SPEC", "NVT_HOST_F64"])
+def test_multichunk_end_trim_non_fused_lanes(tmp_path, monkeypatch, env):
+    """End-of-stream granule trim on a multi-chunk stream: the trimmed
+    final span can be shorter than the previous frame's lapped tail, and
+    the vectorized planner must fall back to the sequential clamp
+    (engine/plan.py).  Before the round-4 fix the numpy OLA lane crashed
+    with a broadcast ValueError here and the fused lane wrote past the
+    final segment into buffer slack (found by review)."""
+    from nvorbis_tpu.testgen.ogg_writer import make_long_stream
+
+    out = str(tmp_path / "long.ogg")
+    make_long_stream(fixture("3test.ogg"), 30, out)  # > CHUNK_FRAMES pkts
+    ref, _ = _oracle(out)
+    monkeypatch.setenv(env, "1")
+    r = nv.VorbisReader(out, engine="host")
+    pcm = r.read_all()
+    r.dispose()
+    assert len(pcm) == len(ref)
+    tol = 5e-6 * max(1.0, float(np.abs(ref).max()))
+    assert float(np.abs(pcm - ref).max()) <= tol
+
+
 def test_host_mode_enables_page_recycling(monkeypatch):
     """The host engine must install the page-recycling allocator policy
     exactly like the device planes do — without it a fresh process decodes
@@ -224,6 +246,11 @@ def test_host_mode_enables_page_recycling(monkeypatch):
 
     calls.clear()
     r = nv.VorbisReader(fixture("3test.ogg"), engine="host")
+    # opening alone must NOT mutate the process-global allocator (the
+    # policy is irreversible; short-clip opens are the common entry
+    # point) — the bulk read applies it
+    assert not calls
+    r.read_all()
     assert calls
     r.dispose()
 
@@ -232,7 +259,7 @@ def test_host_mode_enables_page_recycling(monkeypatch):
 
 
 _JAXFREE_SCRIPT = r"""
-import sys, importlib.abc
+import os, sys, importlib.abc
 
 class _Block(importlib.abc.MetaPathFinder):
     def find_spec(self, name, path=None, target=None):
@@ -242,20 +269,34 @@ class _Block(importlib.abc.MetaPathFinder):
 sys.meta_path.insert(0, _Block())
 assert "jax" not in sys.modules, "sitecustomize imported jax; unset plugin env"
 
+# re-arm the relay plugin markers AFTER startup (sitecustomize already
+# ran, so nothing imports jax now) and point the probe at a dead port:
+# this is the REAL relay-down auto ladder — host_engine_preferred() must
+# consult the probe, fail it, and route to the host engine without a
+# single jax import
+os.environ["PALLAS_AXON_POOL_IPS"] = "203.0.113.1"
+os.environ["NVT_RELAY_ADDR"] = "127.0.0.1:%d"
+
 import numpy as np
 import nvorbis_tpu as nv
 
 src = "/root/reference/TestFiles/3test.ogg"
-# engine="auto" must also complete: with the plugin env var set and the
-# relay probe failing, auto routes to the host engine without touching jax
 r = nv.VorbisReader(src, engine="host")
 pcm = r.read_all()
 r.dispose()
-r = nv.VorbisReader(src)
+r = nv.VorbisReader(src)  # auto: dead-relay probe -> host engine
 pcm_auto = r.read_all()
 r.dispose()
 assert len(pcm) > 0 and len(pcm) == len(pcm_auto)
 np.testing.assert_array_equal(pcm, pcm_auto)
+assert "jax" not in sys.modules
+# the batch plane's host mode is equally jax-free (module import included)
+from nvorbis_tpu.parallel.batch import BatchDecoder
+raw = open(src, "rb").read()
+bd = BatchDecoder([raw, raw])  # auto -> host mode
+assert bd._host_mode
+outs = bd.decode_all()
+assert len(outs) == 2 and all(len(o) == len(pcm) for o in outs)
 assert "jax" not in sys.modules
 # streaming + seek too
 r = nv.VorbisReader(src, engine="host")
@@ -269,23 +310,26 @@ print("JAXFREE_OK", len(pcm))
 
 
 def test_host_engine_decodes_with_jax_unimportable():
-    """The hard promise behind relay-down ``auto``: a full decode, a seek
-    and a streaming read complete in a process where ``import jax`` raises
-    — no code path can reach jax backend init (the round-1 hang class)."""
+    """The hard promise behind relay-down ``auto``: a full decode, a batch
+    decode, a seek and a streaming read complete in a process where
+    ``import jax`` raises — no code path can reach jax backend init (the
+    round-1 hang class).  The script re-arms the plugin env markers after
+    startup and points the relay probe at a provably dead port, so the
+    real relay-down auto ladder (probe -> host engine) is what runs."""
     env = dict(os.environ)
-    # drop the TPU plugin's sitecustomize hook (it imports jax at startup)
+    # drop the TPU plugin's sitecustomize hook (it imports jax at startup;
+    # the script re-sets the env var once the interpreter is up)
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    # force the auto policy down the relay-dead path regardless of the
-    # real relay's state: a bound-but-unlistened port always refuses
+    env.pop("NVT_ENGINE", None)
+    # a bound-but-unlistened port always refuses connections
     import socket
 
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
-    env["NVT_ENGINE"] = "host"
     proc = subprocess.run(
-        [sys.executable, "-c", _JAXFREE_SCRIPT],
+        [sys.executable, "-c", _JAXFREE_SCRIPT % port],
         env=env, capture_output=True, text=True, timeout=180,
         cwd="/root/repo",
     )
