@@ -433,11 +433,22 @@ void residue_decode(const Setup& s, const Residue& r, BitReader& br,
                 }
                 int cc = (int)(o % ch);
                 int64_t oi = o / ch;
+                // no-overshoot partitions (dims | psize) skip the
+                // per-element bound check: offset + psize <= end <= half
+                const bool exact = steps * dims == psize;
                 bool bail = false;
                 for (int i = 0; i < steps && !bail; ++i) {
                   int e = book.decode_scalar(br);
                   if (e == -1) { bail = true; break; }
                   const float* rowv = &book.lookup[(int64_t)e * dims];
+                  if (exact) {
+                    for (int dd = 0; dd < dims; ++dd) {
+                      bufs[cc][oi] += rowv[dd];
+                      if (++cc == ch) { cc = 0; ++oi; }
+                    }
+                    o += dims;
+                    continue;
+                  }
                   for (int dd = 0; dd < dims && o < half; ++dd, ++o) {
                     bufs[cc][oi] += rowv[dd];
                     if (++cc == ch) { cc = 0; ++oi; }
@@ -1327,6 +1338,28 @@ void nvt_ola(const float* rows_all,  // [rows, C, n_max]
           o[2 * t] = fin(o[2 * t] + q0[t]);
           o[2 * t + 1] = fin(o[2 * t + 1] + q1[t]);
         }
+      }
+      continue;
+    }
+    if (C <= 8 && !std::getenv("NVT_NO_OLAG")) {
+      // generic single-pass lane (surround): all channels per output
+      // frame in one sweep — contiguous interleaved stores instead of C
+      // strided passes over the output (the reads are <=8 sequential
+      // streams, well within the prefetcher)
+      const float* ps[8];
+      for (int c = 0; c < C; ++c)
+        ps[c] = rows_all + (r * C + c) * n_max + off;
+      for (int64_t t = 0; t < S; ++t)
+        for (int c = 0; c < C; ++c) o[t * C + c] = ps[c][t];
+      for (int64_t t = S; t < L; ++t)
+        for (int c = 0; c < C; ++c) o[t * C + c] = fin(ps[c][t]);
+      if (S > 0) {
+        int64_t sc = sec[k], r2 = sc / n_max, off2 = sc % n_max;
+        for (int c = 0; c < C; ++c)
+          ps[c] = rows_all + (r2 * C + c) * n_max + off2;
+        for (int64_t t = 0; t < S; ++t)
+          for (int c = 0; c < C; ++c)
+            o[t * C + c] = fin(o[t * C + c] + ps[c][t]);
       }
       continue;
     }
