@@ -229,6 +229,9 @@ class HostBulkDecoder:
         # ~0.15 s/round on clipping content); self.maxabs always reports
         # the PRE-clamp magnitude for has_clipped
         self._clip = clip
+        # C++ unpack packet-pool width (0 = auto); the batch plane's
+        # per-stream outer threading sets 1 so pools do not multiply
+        self.unpack_threads = 0
         # whole-stream decode: the page-recycling win is measured here
         # (see utils/hostmem.py; NVT_NO_MALLOPT opts out)
         from nvorbis_tpu.utils.hostmem import enable_page_recycling
@@ -340,7 +343,8 @@ class HostBulkDecoder:
                             starts = np.ascontiguousarray(off_v[:-1][perm])
                             ends = np.ascontiguousarray(off_v[1:][perm])
                             residue, meta_p = self._native.unpack_spec_sv(
-                                data_v, starts, ends
+                                data_v, starts, ends,
+                                n_threads=self.unpack_threads,
                             )
                             inv_perm = np.empty_like(perm)
                             inv_perm[perm] = np.arange(
@@ -348,17 +352,21 @@ class HostBulkDecoder:
                             meta = meta_p[inv_perm]  # original frame order
                         else:
                             residue, meta = self._native.unpack_spec_view(
-                                *job["view"]
+                                *job["view"],
+                                n_threads=self.unpack_threads,
                             )
                         ys = used = has_floor = None
                     elif self._spec:
                         residue, meta = self._native.unpack_spec_view(
-                            *job["view"]
+                            *job["view"], n_threads=self.unpack_threads
                         )
                         ys = used = has_floor = None
                     else:
                         residue, ys, used, has_floor, meta = (
-                            self._native.unpack_view(*job["view"])
+                            self._native.unpack_view(
+                                *job["view"],
+                                n_threads=self.unpack_threads,
+                            )
                         )
             else:
                 packets = []
@@ -382,11 +390,15 @@ class HostBulkDecoder:
                     break
                 with span("host.unpack"):
                     if self._spec:
-                        residue, meta = self._native.unpack_spec(raw)
+                        residue, meta = self._native.unpack_spec(
+                            raw, n_threads=self.unpack_threads
+                        )
                         ys = used = has_floor = None
                     else:
                         residue, ys, used, has_floor, meta = (
-                            self._native.unpack(raw)
+                            self._native.unpack(
+                                raw, n_threads=self.unpack_threads
+                            )
                         )
                 job = {
                     "n": len(packets),

@@ -377,15 +377,25 @@ class BatchDecoder:
     def _decode_all_host(self):
         """Host-engine decode of every stream (no jax, no co-batching).
 
-        Sequential per-stream host bulk decode — host-side there is no
+        Per-stream host bulk decode: host-side there is no
         dispatch/transfer overhead for co-batching to amortize, so N
-        streams decode at the single-stream host rate.  Streams without a
-        native plane (Floor0 / NVT_NO_NATIVE) use their reader's oracle
-        read loop, as in the device path's fallback."""
+        streams decode at the single-stream host rate — and streams are
+        INDEPENDENT, so on multi-core hosts they fan out over a thread
+        pool (the heavy stages — C++ unpack, pocketfft DCT, C++
+        window/OLA — all release the GIL; the shared unpacker is
+        stateless per call with thread-local C++ scratch).
+        ``NVT_HOST_THREADS`` overrides the default ``min(streams,
+        cpu_count)``; single-core hosts keep the sequential loop.
+        Streams without a native plane (Floor0 / NVT_NO_NATIVE) use their
+        reader's oracle read loop, as in the device path's fallback."""
         from nvorbis_tpu.engine.host import HostBulkDecoder
 
-        results = []
-        for st in self._streams:
+        threads = int(os.environ.get("NVT_HOST_THREADS", "0") or 0)
+        if threads <= 0:
+            threads = min(len(self._streams), os.cpu_count() or 1)
+        threads = max(1, min(threads, len(self._streams)))
+
+        def _one(st):
             st.pcm = None  # the host decoder returns its own buffer
             if st.native is None:
                 st.reader.clip_samples = self.clip_samples
@@ -394,15 +404,24 @@ class BatchDecoder:
                 st.decoder._started = True
                 hb = HostBulkDecoder(st.decoder, st.native, table=st.table,
                                      clip=self.clip_samples)
+                # outer per-stream threading owns the cores: keep the
+                # unpack's internal packet pool at one thread
+                hb.unpack_threads = 1 if threads > 1 else 0
                 pcm = hb.run()
                 # the clamp rides the OLA store; maxabs is pre-clamp
                 if self.clip_samples and hb.maxabs > CLIP_LIMIT:
                     st.decoder._has_clipped = True
             st.out = [pcm]
             st.done = True
-            results.append(pcm)
             st.reader.dispose()
-        return results
+            return pcm
+
+        if threads == 1:
+            return [_one(st) for st in self._streams]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            return list(pool.map(_one, self._streams))
 
     # -- group decode ----------------------------------------------------------
 

@@ -196,6 +196,24 @@ def test_batch_decoder_host_engine():
         assert np.abs(o - ref).max() <= 2e-6
 
 
+def test_batch_decoder_host_threads(monkeypatch):
+    """Per-stream thread-pool host decode (multi-core hosts): forced to 4
+    threads here so the concurrent path runs even on a 1-core box —
+    results must stay in order and bit-match the sequential decode (the
+    shared unpacker is stateless per call, C++ scratch is thread-local)."""
+    from nvorbis_tpu.parallel.batch import BatchDecoder
+
+    raws = [open(fixture(n), "rb").read()
+            for n in ("3test.ogg", "issue6test.ogg", "3test.ogg",
+                      "2test.ogg")]
+    seq = BatchDecoder(list(raws), engine="host").decode_all()
+    monkeypatch.setenv("NVT_HOST_THREADS", "4")
+    par = BatchDecoder(list(raws), engine="host").decode_all()
+    assert len(par) == len(seq)
+    for a, b in zip(par, seq):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_host_engine_clip_semantics():
     """clip_samples + has_clipped flow through the host bulk path."""
     r = nv.VorbisReader(fixture("3test.ogg"), engine="host")
