@@ -400,12 +400,25 @@ class HostBulkDecoder:
                                 raw, n_threads=self.unpack_threads
                             )
                         )
+                grans = [p.granule_position for p in packets]
                 job = {
                     "n": len(packets),
-                    "granules": [p.granule_position for p in packets],
-                    "eos": [p.is_end_of_stream for p in packets],
-                    "resync": [p.is_resync for p in packets],
-                    "ovh_bits": [p.container_overhead_bits for p in packets],
+                    "granules": grans,
+                    # array forms unlock the vectorized planner
+                    # (plan_job_arr's fast path; the sequential add()
+                    # loop cost ~16% of a forward-only decode)
+                    "gran_arr": np.array(
+                        [g if g is not None else -1 for g in grans],
+                        dtype=np.int64),
+                    "has_gran": np.array([g is not None for g in grans],
+                                         dtype=bool),
+                    "eos": np.array([p.is_end_of_stream for p in packets],
+                                    dtype=bool),
+                    "resync": np.array([p.is_resync for p in packets],
+                                       dtype=bool),
+                    "ovh_bits": np.array(
+                        [p.container_overhead_bits for p in packets],
+                        dtype=np.int64),
                 }
             if not self._spec:
                 used = used.astype(bool)

@@ -61,7 +61,8 @@ def plan_job_arr(planner, ov_tab, blk_tab, setup, meta, job, stats,
     """
     nj = job["n"]
     if (job.get("gran_arr") is not None
-            and bool((meta[:nj, 0] == 1).all())):
+            and bool((meta[:nj, 0] == 1).all())
+            and not bool(np.any(job["resync"]))):
         mode_ids = meta[:nj, 1]
         widx = meta[:nj, 2]
         svt = ov_tab[mode_ids, widx]
