@@ -132,6 +132,7 @@ def load():
             ]
             lib.nvt_has_spec.restype = ctypes.c_int32
             lib.nvt_has_spec.argtypes = [ctypes.c_void_p]
+            lib.nvt_cycles_read.argtypes = [ctypes.c_void_p]
             lib.nvt_imdct_finish.argtypes = [
                 ctypes.c_void_p,  # g
                 ctypes.c_int64,   # b

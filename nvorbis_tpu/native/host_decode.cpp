@@ -183,6 +183,8 @@ struct Setup {
   bool no_t2ch2;      // NVT_NO_T2CH2: disable the stereo type-2 fast lane
   bool floor_div;     // NVT_FLOOR_DIV: per-bin closed-form division in
                       // floor_apply instead of the incremental renderer
+  bool floor_inc;     // NVT_FLOOR_INC: incremental (base/err) renderer
+                      // instead of the magic-reciprocal closed form
 };
 
 constexpr int32_t kMagic = 0x4E565432;  // "NVT2"
@@ -223,6 +225,30 @@ inline Scratch& scratch() {
   static thread_local Scratch sc;
   return sc;
 }
+
+// ------------------------------------------------- cycle-split diagnostics
+//
+// NVT_CYCLES=1 accumulates rdtsc cycles per unpack_one_spec stage into
+// process-wide counters (read+reset via nvt_cycles_read).  Zero overhead
+// when off (one predictable branch per stage boundary).  This is the
+// measurement that drove the round-3/4 unpack ladder — keep it.
+
+static std::atomic<uint64_t> g_cycles[6];  // floor_unpack, residue,
+                                           // coupling, floor_apply,
+                                           // memset, total
+inline bool cycles_on() {
+  static const bool v = std::getenv("NVT_CYCLES") != nullptr;
+  return v;
+}
+#if defined(__x86_64__)
+static inline uint64_t tsc() {
+  unsigned lo, hi;
+  __asm__ volatile("rdtsc" : "=a"(lo), "=d"(hi));
+  return ((uint64_t)hi << 32) | lo;
+}
+#else
+static inline uint64_t tsc() { return 0; }
+#endif
 
 // ------------------------------------------------------------- floor1 unpack
 
@@ -736,7 +762,8 @@ void unpack_one(const Setup& s, const uint8_t* bytes, int64_t nbytes,
 // (NVorbis/Mapping.cs:184-191).  Posts arrive in sorted-x order
 // (floor1_unpack applies sort_idx; ys are post-multiplier).
 void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
-                 const uint8_t* used, int n2, float* row, bool use_div) {
+                 const uint8_t* used, int n2, float* row, bool use_div,
+                 bool use_inc) {
   int p = f.post_count;
   const int32_t* xs = f.xs_sorted;
   int prev = -1;
@@ -766,6 +793,47 @@ void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
           y = y < 0 ? 0 : (y > 255 ? 255 : y);
           row[x] *= inv_db[y];
         }
+      } else if (adx >= 4 && !use_inc) {
+        // division-free CLOSED form: off(x) = (x-lx)*ady/adx computed
+        // per bin via a per-segment magic reciprocal — exact
+        // (m = 2^39/adx + 1; num*(adx - 2^39 mod adx) < 2^39 holds for
+        // num = d*ady <= 2^21 and adx <= 2048), and every bin is
+        // INDEPENDENT, so out-of-order execution overlaps iterations
+        // that the incremental (base/err) renderer's serial carry chain
+        // forced to retire one at a time.  When both endpoint y values
+        // sit in [0, 255] (the overwhelmingly common case), the
+        // monotone line never needs the per-bin clamp either.
+        // NB: no zero-bin skip here — 62% of long-block bins ARE zero,
+        // but they interleave with nonzeros mid-spectrum and the
+        // data-dependent branch mispredicted so badly the loop ran 3x
+        // SLOWER (0.86 -> 2.6 Gcyc measured); the unconditional
+        // multiply is the fast form.  The all-zero TAIL (after the
+        // last used post) keeps its skip below — those zeros cluster.
+        const int64_t m = (int64_t)((1ll << 39) / adx) + 1;
+        const int64_t yend = ly + dy;  // exact endpoint (off(hx) = ady)
+        if (ly >= 0 && ly <= 255 && yend >= 0 && yend <= 255) {
+          if (dy < 0) {
+            for (; x < end; ++x) {
+              int64_t num = (int64_t)(x - lx) * ady;
+              int64_t y = ly - ((num * m) >> 39);
+              row[x] *= inv_db[y];
+            }
+          } else {
+            for (; x < end; ++x) {
+              int64_t num = (int64_t)(x - lx) * ady;
+              int64_t y = ly + ((num * m) >> 39);
+              row[x] *= inv_db[y];
+            }
+          }
+        } else {
+          for (; x < end; ++x) {
+            int64_t num = (int64_t)(x - lx) * ady;
+            int64_t off = (num * m) >> 39;
+            int64_t y = ly + (dy < 0 ? -off : off);
+            y = y < 0 ? 0 : (y > 255 ? 255 : y);
+            row[x] *= inv_db[y];
+          }
+        }
       } else {
         // incremental renderer: off(x) = (x-lx)*ady/adx advanced by
         // (base, remainder-carry) per bin — integer-exact equal to the
@@ -792,15 +860,24 @@ void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
       }
     } else {
       int64_t y = ly < 0 ? 0 : (ly > 255 ? 255 : ly);
-      for (; x < end; ++x) row[x] *= inv_db[y];
+      const float m = inv_db[y];
+      for (; x < end; ++x) {
+        float v = row[x];
+        if (v != 0.0f) row[x] = v * m;
+      }
     }
     if (end > x_cursor) x_cursor = end;
     prev = i;
   }
   if (prev >= 0 && x_cursor < n2) {
-    // bins at/after the last used post hold its y
+    // bins at/after the last used post hold its y; this tail region is
+    // mostly untouched (zero) residue — the skip leaves it zero
     int64_t y = ys[prev] < 0 ? 0 : (ys[prev] > 255 ? 255 : ys[prev]);
-    for (int x = x_cursor; x < n2; ++x) row[x] *= inv_db[y];
+    const float m = inv_db[y];
+    for (int x = x_cursor; x < n2; ++x) {
+      float v = row[x];
+      if (v != 0.0f) row[x] = v * m;
+    }
   }
 }
 
@@ -840,6 +917,9 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
   int n = mode.block_size;
   int n2 = n / 2;
 
+  const bool cyc = cycles_on();
+  uint64_t t0 = cyc ? tsc() : 0;
+
   Scratch& sc = scratch();
   sc.spec_ys.assign((size_t)C * P, 0);
   sc.spec_used.assign((size_t)C * P, 0);
@@ -850,6 +930,11 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
                                   &sc.spec_used[(size_t)c * P], P)
                         ? 1 : 0;
     std::memset(spec_out + (int64_t)c * s.n2max, 0, sizeof(float) * n2);
+  }
+  if (cyc) {
+    uint64_t t1 = tsc();
+    g_cycles[0] += t1 - t0;
+    t0 = t1;
   }
   std::vector<uint8_t>& has_floor = sc.has_floor;
   has_floor.assign(sc.execute.begin(), sc.execute.end());
@@ -874,6 +959,11 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
     const Residue& r = s.residues[mapping.submap_residue[i]];
     residue_decode(s, r, br, bufs, dnd, n);
   }
+  if (cyc) {
+    uint64_t t1 = tsc();
+    g_cycles[1] += t1 - t0;
+    t0 = t1;
+  }
 
   // inverse square-polar coupling, reverse step order, exact float ops
   // (NVorbis/Mapping.cs:137-182; codec/frames.py:apply_inverse_coupling)
@@ -895,6 +985,12 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
     }
   }
 
+  if (cyc) {
+    uint64_t t1 = tsc();
+    g_cycles[2] += t1 - t0;
+    t0 = t1;
+  }
+
   // floor multiply; channels without their own floor energy are silence
   // even when coupling forced their residue (Mapping.cs:192-196,
   // Floor1.cs:218-221)
@@ -906,8 +1002,10 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
     }
     const Floor1& f = s.floors[mapping.submap_floor[mapping.mux[c]]];
     floor_apply(f, s.inv_db, &sc.spec_ys[(size_t)c * P],
-                &sc.spec_used[(size_t)c * P], n2, row, s.floor_div);
+                &sc.spec_used[(size_t)c * P], n2, row, s.floor_div,
+                s.floor_inc);
   }
+  if (cyc) g_cycles[3] += tsc() - t0;
 
   meta[0] = 1;
   meta[1] = mode_idx;
@@ -1020,6 +1118,7 @@ void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
   Setup* s = new Setup();
   s->no_t2ch2 = std::getenv("NVT_NO_T2CH2") != nullptr;
   s->floor_div = std::getenv("NVT_FLOOR_DIV") != nullptr;
+  s->floor_inc = std::getenv("NVT_FLOOR_INC") != nullptr;
   s->blob_i.assign(blob_i, blob_i + ni);
   s->blob_f.assign(blob_f, blob_f + nf);
   const int32_t* p = s->blob_i.data();
@@ -1247,6 +1346,13 @@ void nvt_unpack_window_spec_sv(void* setup, const uint8_t* bytes,
 // has the spectrum-mode entry point (and the blob carried inv_db)?
 int32_t nvt_has_spec(void* setup) {
   return ((Setup*)setup)->inv_db != nullptr ? 1 : 0;
+}
+
+// read-and-reset the NVT_CYCLES stage counters (see cycle-split
+// diagnostics above): out[4] = floor_unpack, residue_decode, coupling,
+// floor_apply rdtsc cycles accumulated since the last read.
+void nvt_cycles_read(uint64_t* out) {
+  for (int i = 0; i < 4; ++i) out[i] = g_cycles[i].exchange(0);
 }
 
 // Finish one mode bucket's IMDCT from its DCT-IV half: map the length-n/2
