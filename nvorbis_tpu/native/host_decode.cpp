@@ -446,6 +446,30 @@ void residue_decode(const Setup& s, const Residue& r, BitReader& br,
                   float* b0 = bufs[0];
                   float* b1 = bufs[1];
                   int64_t oi = o >> 1;
+                  if (dims == 2) {  // dominant books: exact unrolls keep
+                    for (int i = 0; i < steps; ++i) {  // the accumulate
+                      int e = book.decode_scalar(br);  // off the decode
+                      if (e == -1) return;             // chain's critical
+                      const float* rowv = &book.lookup[(int64_t)e * 2];
+                      b0[oi] += rowv[0];
+                      b1[oi] += rowv[1];
+                      ++oi;
+                    }
+                    continue;
+                  }
+                  if (dims == 4) {
+                    for (int i = 0; i < steps; ++i) {
+                      int e = book.decode_scalar(br);
+                      if (e == -1) return;
+                      const float* rowv = &book.lookup[(int64_t)e * 4];
+                      b0[oi] += rowv[0];
+                      b1[oi] += rowv[1];
+                      b0[oi + 1] += rowv[2];
+                      b1[oi + 1] += rowv[3];
+                      oi += 2;
+                    }
+                    continue;
+                  }
                   for (int i = 0; i < steps; ++i) {
                     int e = book.decode_scalar(br);
                     if (e == -1) return;  // bail, keep partial
