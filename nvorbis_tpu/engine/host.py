@@ -82,9 +82,13 @@ def imdct_rows(spec: np.ndarray, n: int) -> np.ndarray:
 
         return (spec.astype(np.float64) @ imdct_basis(n)).astype(np.float32)
     if _f64_enabled():
-        g = _dct4(spec.astype(np.float64), type=4, axis=-1)
+        g = _dct4(spec.astype(np.float64), type=4, axis=-1,
+                  overwrite_x=True)
     else:
-        g = _dct4(spec, type=4, axis=-1)
+        # callers hand over ownership of ``spec`` (fresh gathers or
+        # in-place-mutated buckets); skipping pocketfft's input copy is
+        # ~9% of the transform
+        g = _dct4(spec, type=4, axis=-1, overwrite_x=True)
     y = np.empty((spec.shape[0], n), dtype=g.dtype)
     y[:, :n4] = g[:, n4:n2]
     y[:, n4 : 3 * n4] = -g[:, ::-1]
@@ -460,12 +464,27 @@ class HostBulkDecoder:
                             else:
                                 sel = residue[idx]
                             with span("host.dct"):
-                                g = _dct4(
-                                    sel[:, :, : n // 2].reshape(
-                                        -1, n // 2
-                                    ),
-                                    type=4, axis=-1,
+                                # overwrite_x skips pocketfft's internal
+                                # input copy (~9% of the transform;
+                                # spectrum rows are consumed exactly once
+                                # — carries copy from rows_all).  ONLY
+                                # when the input is C-contiguous: on a
+                                # strided view scipy returns a STRIDED
+                                # result view, and nvt_imdct_finish reads
+                                # g.ctypes.data as contiguous rows — that
+                                # aliasing read garbage for every row but
+                                # the first (caught by parity tests)
+                                x = sel[:, :, : n // 2].reshape(
+                                    -1, n // 2
                                 )
+                                g = _dct4(
+                                    x, type=4, axis=-1,
+                                    overwrite_x=x.flags.c_contiguous,
+                                )
+                                if not g.flags.c_contiguous:
+                                    # belt and braces for the ctypes
+                                    # consumer below
+                                    g = np.ascontiguousarray(g)
                             widx = np.ascontiguousarray(meta[idx, 2])
                             win_tab = self._synth.windows_for(int(m))
                             with span("host.finish"):
