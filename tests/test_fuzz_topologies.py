@@ -52,3 +52,8 @@ def test_fuzz_topology_roundtrip(seed):
     # than the fixture-parity budget
     d = float(np.abs(o - j).max())
     assert d <= 8e-6, (cfg, d)
+    # the host engine (fused C++ coupling/floor + DCT-IV) must agree too
+    h = nv.VorbisReader(blob, engine="host").read_all()
+    assert len(h) == len(o), cfg
+    dh = float(np.abs(o - h).max())
+    assert dh <= 8e-6, (cfg, dh)
