@@ -260,6 +260,21 @@ class HostBulkDecoder:
             self._spec and _dct4 is not None and not _f64_enabled()
             and hasattr(getattr(native, "_lib", None), "nvt_imdct_finish")
         )
+        # fully-fused lane (default; NVT_HOST_FUSED_OLA=0 keeps the
+        # two-pass finish+ola as the A/B twin): skip the rows_all
+        # materialization entirely — nvt_finish_ola computes every output
+        # sample straight from its frame's DCT bucket with the exact
+        # finish op order (bit-identical; the build pins
+        # -ffp-contract=off so the add cannot fuse into an FMA),
+        # region-split per segment.  The carry row is materialized per
+        # chunk by a 1-frame finish call.  A/B: 5/5 adjacent wins,
+        # median 1.81 vs 1.98 s/round (~10%) — the ~67 MB/chunk row
+        # space written once and read ~1.3x is gone.
+        self._fused2 = (
+            self._fused
+            and os.environ.get("NVT_HOST_FUSED_OLA", "1") != "0"
+            and hasattr(native._lib, "nvt_finish_ola")
+        )
 
     def run(self):
         """Decode the remainder of the stream; returns interleaved float32
@@ -442,8 +457,21 @@ class HostBulkDecoder:
 
             # synthesize every good frame, bucketed by mode, into a flat
             # row space (row nF = the carry frame from the previous chunk)
-            with span("host.alloc"):
-                rows_all = np.empty((nF + 1, C, n_max), dtype=np.float32)
+            # — or, on the fully-fused lane, keep the DCT buckets and
+            # per-frame source records for nvt_finish_ola (no row space)
+            if self._fused2:
+                rows_all = None
+                g_bufs = []
+                gs_ptrs = []
+                fbuck = np.full(nF + 1, -1, dtype=np.int64)
+                frow = np.zeros(nF + 1, dtype=np.int64)
+                fns = np.zeros(nF + 1, dtype=np.int32)
+                fwin = np.zeros(nF + 1, dtype=np.int64)  # float* per frame
+                fwidx = np.zeros(nF + 1, dtype=np.int32)
+            else:
+                with span("host.alloc"):
+                    rows_all = np.empty((nF + 1, C, n_max),
+                                        dtype=np.float32)
             with span("host.synth"):
                 if ok.any():
                     mode_r = meta[:nF, 1].astype(np.int64)
@@ -487,6 +515,19 @@ class HostBulkDecoder:
                                     g = np.ascontiguousarray(g)
                             widx = np.ascontiguousarray(meta[idx, 2])
                             win_tab = self._synth.windows_for(int(m))
+                            if self._fused2:
+                                bi = len(g_bufs)
+                                g_bufs.append(g)  # keep alive for the call
+                                gs_ptrs.append(g.ctypes.data)
+                                fbuck[idx] = bi
+                                frow[idx] = np.arange(
+                                    len(idx), dtype=np.int64)
+                                fns[idx] = n
+                                fwidx[idx] = widx
+                                fwin[idx] = (win_tab.ctypes.data
+                                             + widx.astype(np.int64)
+                                             * (n * 4))
+                                continue
                             with span("host.finish"):
                                 self._native._lib.nvt_imdct_finish(
                                     g.ctypes.data, len(idx), C, n,
@@ -508,7 +549,7 @@ class HostBulkDecoder:
                                 widx,
                             )
                         rows_all[idx, :, :n] = out_b
-                if carry is not None:
+                if carry is not None and rows_all is not None:
                     rows_all[nF] = carry[0]
 
             prev_plan = carry[1] if carry is not None else None
@@ -541,6 +582,26 @@ class HostBulkDecoder:
                                     c_s[1:], c_s[:-1], out=lens[:-1]
                                 )
                             lens[-1] = L_real - c_s[-1]
+                        if nseg and self._fused2:
+                            gs_arr = np.array(gs_ptrs or [0],
+                                              dtype=np.int64)
+                            if carry is not None:
+                                carr = carry[0]
+                            else:
+                                carr = np.zeros((C, n_max),
+                                                dtype=np.float32)
+                            self._native._lib.nvt_finish_ola(
+                                gs_arr.ctypes.data, fbuck.ctypes.data,
+                                frow.ctypes.data, fns.ctypes.data,
+                                fwin.ctypes.data, carr.ctypes.data,
+                                n_max, C,
+                                c_s.ctypes.data, c_prim.ctypes.data,
+                                c_sec.ctypes.data, c_sl.ctypes.data,
+                                lens.ctypes.data, nseg, out.ctypes.data,
+                                maxabs.ctypes.data,
+                                CLIP_LIMIT if self._clip else 0.0,
+                            )
+                        elif nseg:
                             self._native._lib.nvt_ola(
                                 rows_all.ctypes.data, n_max, C,
                                 c_s.ctypes.data, c_prim.ctypes.data,
@@ -568,8 +629,26 @@ class HostBulkDecoder:
             good = np.flatnonzero(ok)
             if len(good):
                 lg = int(good[-1])
+                if self._fused2:
+                    # materialize the carry row with a 1-frame finish —
+                    # the only finished row the fused lane ever stores
+                    n_l = int(fns[lg])
+                    cbuf = np.zeros((C, n_max), dtype=np.float32)
+                    g_ptr = (gs_ptrs[int(fbuck[lg])]
+                             + int(frow[lg]) * C * (n_l // 2) * 4)
+                    idx0 = np.zeros(1, dtype=np.int64)
+                    w32 = np.array([fwidx[lg]], dtype=np.int32)
+                    win_tab = self._synth.windows_for(int(meta[lg, 1]))
+                    self._native._lib.nvt_imdct_finish(
+                        g_ptr, 1, C, n_l, idx0.ctypes.data,
+                        w32.ctypes.data, win_tab.ctypes.data,
+                        cbuf.ctypes.data, n_max,
+                    )
+                    crow = cbuf
+                else:
+                    crow = rows_all[lg].copy()
                 carry = (
-                    rows_all[lg].copy(),
+                    crow,
                     plans[lg] if plans is not None else self._last_plan,
                 )
 

@@ -34,6 +34,13 @@ _lib_failed = False
 def _build_library():
     base = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        # no FP contraction: the fused finish+OLA computes (±g*0.5f)*w + o
+        # in one expression, and an FMA there rounds once where the
+        # two-pass lane (store to rows_all, then add) rounds twice — the
+        # bit-equality contract across lanes requires the same double
+        # rounding.  Nothing else in this TU contracts (the other hot
+        # loops are pure adds or integer), measured no ceiling change.
+        "-ffp-contract=off",
         "-o", _SO, _SRC,
     ]
     # -march=native won every adjacent pair of an in-process A/B on the
@@ -157,6 +164,25 @@ def load():
                 ctypes.c_void_p,  # out
                 ctypes.c_void_p,  # maxabs in/out (f32 scalar; NULL = skip)
                 ctypes.c_float,   # clip_limit (>0: clamp at store time)
+            ]
+            lib.nvt_finish_ola.argtypes = [
+                ctypes.c_void_p,  # gs (const float* const*)
+                ctypes.c_void_p,  # fbuck [nF+1] i64
+                ctypes.c_void_p,  # frow  [nF+1] i64
+                ctypes.c_void_p,  # fns   [nF+1] i32
+                ctypes.c_void_p,  # fwin  [nF+1] float* as i64
+                ctypes.c_void_p,  # carry_row [C, n_max]
+                ctypes.c_int64,   # n_max
+                ctypes.c_int32,   # C
+                ctypes.c_void_p,  # s
+                ctypes.c_void_p,  # prim
+                ctypes.c_void_p,  # sec
+                ctypes.c_void_p,  # sl
+                ctypes.c_void_p,  # lens
+                ctypes.c_int64,   # nseg
+                ctypes.c_void_p,  # out
+                ctypes.c_void_p,  # maxabs in/out
+                ctypes.c_float,   # clip_limit
             ]
             lib.nvt_crc32.restype = ctypes.c_uint32
             lib.nvt_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]

@@ -1130,6 +1130,63 @@ void unpack_one_sym(const Setup& s, const uint8_t* bytes, int64_t nbytes,
 
 }  // namespace
 
+namespace {
+struct FrameSrc {
+  const int64_t* fbuck;      // [nF+1] bucket id, -1 = carry row
+  const int64_t* frow;       // [nF+1] row group within bucket
+  const int32_t* fns;        // [nF+1] block size n
+  const float* const* gs;    // bucket base pointers
+  const float* const* fwin;  // [nF+1] window row (length n)
+  const float* carry_row;    // [C, n_max]
+  int64_t n_max;
+  int32_t C;
+};
+
+// Emit one (frame, channel) slice [off, off+L) into o (stride C),
+// storing (Add=false) or accumulating (Add=true), applying `fin` to
+// elements at t >= fin_from (the final-value positions).
+template <bool Add, typename Fin>
+inline void emit_role(const FrameSrc& fs, int64_t f, int c, int64_t off,
+                      int64_t L, float* o, int32_t C, int64_t fin_from,
+                      Fin&& fin) {
+  if (fs.fbuck[f] < 0) {  // carry row: already finished+windowed
+    const float* p = fs.carry_row + (int64_t)c * fs.n_max + off;
+    for (int64_t t = 0; t < L; ++t) {
+      float v = Add ? o[t * C + c] + p[t] : p[t];
+      o[t * C + c] = t >= fin_from ? fin(v) : v;
+    }
+    return;
+  }
+  const int n = fs.fns[f];
+  const int n2 = n / 2, n4 = n / 4;
+  const float* g = fs.gs[fs.fbuck[f]] + (fs.frow[f] * C + c) * (int64_t)n2;
+  const float* w = fs.fwin[f];
+  int64_t t = 0;
+  // region A: x in [0, n4): v = (g[n4+x] * 0.5f) * w[x]
+  for (int64_t hi = std::min<int64_t>(L, n4 - off); t < hi; ++t) {
+    int64_t x = off + t;
+    float v = (g[n4 + x] * 0.5f) * w[x];
+    if (Add) v += o[t * C + c];
+    o[t * C + c] = t >= fin_from ? fin(v) : v;
+  }
+  // region B: x in [n4, 3n4): v = (-g[3n4-1-x] * 0.5f) * w[x]
+  for (int64_t hi = std::min<int64_t>(L, 3 * (int64_t)n4 - off); t < hi;
+       ++t) {
+    int64_t x = off + t;
+    float v = (-g[3 * n4 - 1 - x] * 0.5f) * w[x];
+    if (Add) v += o[t * C + c];
+    o[t * C + c] = t >= fin_from ? fin(v) : v;
+  }
+  // region C: x in [3n4, n)
+  for (; t < L; ++t) {
+    int64_t x = off + t;
+    float v = (-g[x - 3 * n4] * 0.5f) * w[x];
+    if (Add) v += o[t * C + c];
+    o[t * C + c] = t >= fin_from ? fin(v) : v;
+  }
+}
+}  // namespace
+
 // ------------------------------------------------------------------ C API
 
 extern "C" {
@@ -1406,6 +1463,52 @@ void nvt_imdct_finish(const float* g,        // [b, C, n/2] DCT-IV rows
         dst[i] = (-gr[i - 3 * n4] * 0.5f) * w[i];
     }
   }
+}
+
+// Fused IMDCT-finish + overlap-add: the rows_all materialization
+// (~67 MB per 4096-frame chunk, written once and read ~1.3x) is skipped
+// entirely — every output sample is computed straight from its frame's
+// DCT-IV bucket row with the exact nvt_imdct_finish op order
+// ((sign*g)*0.5f)*w, so outputs are bit-identical to the two-pass lane.
+// Segments arrive in build_segments coordinates; the frame index rides
+// prim/sec's flat row (prim / n_max), and the previous chunk's final
+// frame (frame id nF) reads from its materialized carry row instead of
+// a bucket.  Inner loops are region-split (the IMDCT mapping's three
+// ranges), branch-free per run.
+void nvt_finish_ola(
+    const float* const* gs, const int64_t* fbuck, const int64_t* frow,
+    const int32_t* fns, const float* const* fwin, const float* carry_row,
+    int64_t n_max, int32_t C,
+    const int64_t* s, const int64_t* prim, const int64_t* sec,
+    const int64_t* sl, const int64_t* lens, int64_t nseg,
+    float* out, float* maxabs_io, float clip_limit) {
+  FrameSrc fs{fbuck, frow, fns, gs, fwin, carry_row, n_max, C};
+  float mx = maxabs_io ? *maxabs_io : 0.0f;
+  const bool cl = clip_limit > 0.0f;
+  auto fin = [&](float v) {
+    float a = v < 0 ? -v : v;
+    if (a > mx) mx = a;
+    if (cl) {
+      if (v > clip_limit) return clip_limit;
+      if (v < -clip_limit) return -clip_limit;
+    }
+    return v;
+  };
+  for (int64_t k = 0; k < nseg; ++k) {
+    int64_t L = lens[k];
+    if (L <= 0) continue;
+    float* o = out + s[k] * C;
+    int64_t pf = prim[k] / n_max, poff = prim[k] % n_max;
+    int64_t S = sl[k];
+    for (int c = 0; c < C; ++c)
+      emit_role<false>(fs, pf, c, poff, L, o, C, S, fin);
+    if (S > 0) {
+      int64_t sf = sec[k] / n_max, soff = sec[k] % n_max;
+      for (int c = 0; c < C; ++c)
+        emit_role<true>(fs, sf, c, soff, S, o, C, 0, fin);
+    }
+  }
+  if (maxabs_io) *maxabs_io = mx;
 }
 
 // Host overlap-add: write the chunk's lapped segments into the interleaved
