@@ -34,14 +34,18 @@ STREAM_AXIS = "stream"
 FREQ_AXIS = "freq"
 
 
-def build_mesh(n_devices=None, model_parallel=None):
+def build_mesh(n_devices=None, model_parallel=None, devices=None):
     """Build a 2D ``(stream, freq)`` device mesh.
 
     ``model_parallel`` (the ``freq`` extent) defaults to 2 when the device
     count is even, exercising the tensor-parallel IMDCT path; the remaining
-    devices form the data-parallel ``stream`` axis.
+    devices form the data-parallel ``stream`` axis.  ``devices`` pins an
+    explicit device list (e.g. ``jax.devices("cpu")`` for the virtual-mesh
+    dryrun in a process whose *default* backend already resolved to a
+    single remote accelerator); default is the default platform's devices.
     """
-    devices = jax.devices()
+    if devices is None:
+        devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     if model_parallel is None:
