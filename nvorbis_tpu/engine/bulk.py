@@ -40,6 +40,7 @@ from nvorbis_tpu.engine.plan import (  # noqa: F401
     FramePlan,
     StreamPlanner,
     build_segments,
+    pad_quantum,
     peek_mode_index,
     plan_window,
     round_up as _round_up,
@@ -408,10 +409,10 @@ class BulkDecoder:
         L_real = max(0, chunk_end - chunk_base)
         if L_real == 0:
             return np.zeros(0, dtype=np.float32)
-        # program shape quantized to a power of two (few distinct compiles);
-        # the fetch slices down to an L_QUANTUM multiple on device so the
-        # padding is never transferred
-        L_pad = max(L_QUANTUM, 1 << (L_real - 1).bit_length())
+        # program shape quantized (engine/plan.pad_quantum: few distinct
+        # compiles, <=25% padded rows); the fetch slices down to an
+        # L_QUANTUM multiple on device so the padding is never transferred
+        L_pad = pad_quantum(L_real, L_QUANTUM)
 
         # bucket rows by mode
         nF = pa.shape[0]

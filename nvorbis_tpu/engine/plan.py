@@ -51,6 +51,33 @@ def round_up(x, q):
     return -(-x // q) * q
 
 
+def pad_quantum(b: int, lo: int = 16) -> int:
+    """Padded-extent quantum for compiled device-program shapes: the
+    {1, 1.25, 1.5, 1.75} x pow2 grid.
+
+    Pure next-pow2 wastes up to 2x of every gather/matmul row in the chunk
+    program (measured on-chip 2026-08-18: a 2,100-frame long bucket padded
+    to 4,096 and a 2.2M-sample OLA padded to 4.2M were the two biggest
+    terms of the 1.4 s/chunk device wall).  Two mantissa bits cap the
+    waste at 25% (mean ~12%) for at most 4x the compiled-shape variants —
+    and a steady decode re-uses one or two shapes, so the variant count
+    stays trivially small in practice.  ``NVT_PAD_POW2=1`` reverts to the
+    pure pow2 grid (A/B twin)."""
+    if b <= lo:
+        return lo
+    p = lo
+    while p < b:
+        p <<= 1
+    if p == lo or os.environ.get("NVT_PAD_POW2"):
+        return p
+    half = p >> 1  # b is in (half, p]
+    for frac in (5, 6, 7):
+        q = (half * frac) >> 2
+        if b <= q:
+            return q
+    return p
+
+
 def peek_mode_index(data: bytes, mode_field_bits: int):
     """Read an audio packet's mode number from its first bits (type bit 0 +
     mode field, LSB-first) without a full unpack; None for non-audio/empty

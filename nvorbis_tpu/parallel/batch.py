@@ -30,7 +30,7 @@ import numpy as np
 from nvorbis_tpu.codec.floor import Floor1
 from nvorbis_tpu.engine.plan import (
     StreamPlanner, round_up as _round_up, peek_mode_index, CAP_PER_SIZE,
-    CHUNK_FRAMES, L_QUANTUM,
+    CHUNK_FRAMES, L_QUANTUM, pad_quantum as _pad_quantum,
 )
 from nvorbis_tpu.ogg.fast_packets import plan_job_arr
 from nvorbis_tpu.synth.oracle import imdct_basis
@@ -46,13 +46,9 @@ from nvorbis_tpu.utils.fetch import (
 
 
 def _bucket_size(b: int) -> int:
-    """Next power of two (min 16): bounds recompiles at <2x padding waste."""
-    if b <= 16:
-        return 16
-    p = 16
-    while p < b:
-        p <<= 1
-    return p
+    """Padded frame-batch extent for one bucket (min 16; see
+    engine/plan.pad_quantum for the grid + the on-chip measurement)."""
+    return _pad_quantum(b, 16)
 
 
 @functools.lru_cache(maxsize=64)
@@ -1024,9 +1020,9 @@ class BatchDecoder:
         L_real = out_off
         if L_real == 0:
             return lambda: None
-        # pow2 program shape, quantized device-side slice for the fetch
-        # (see engine/bulk.py)
-        L_pad = max(L_QUANTUM, 1 << (L_real - 1).bit_length())
+        # quantized program shape (see _pad_quantum), quantized device-side
+        # slice for the fetch (see engine/bulk.py)
+        L_pad = _pad_quantum(L_real, L_QUANTUM)
         segs_s = (np.concatenate(seg_s) if seg_s
                   else np.zeros(0, dtype=np.int64))
         n_segs = len(segs_s)

@@ -385,14 +385,12 @@ class DeviceSynth:
 
     @staticmethod
     def _bucket(b: int) -> int:
-        """Round batch size up to the next power of two (min 16) to bound
-        recompiles while keeping padded upload/compute waste under 2x."""
-        if b <= 16:
-            return 16
-        p = 16
-        while p < b:
-            p <<= 1
-        return p
+        """Padded frame-batch extent (min 16): the shared shape grid
+        (engine/plan.pad_quantum — <=25% padded rows, bounded recompiles;
+        NVT_PAD_POW2=1 reverts to pure pow2)."""
+        from nvorbis_tpu.engine.plan import pad_quantum
+
+        return pad_quantum(b, 16)
 
     def attach_symbol_plan(self, plan):
         """Enable :meth:`dispatch_sym` with a ResiduePlan for this mode's
