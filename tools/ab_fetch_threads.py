@@ -15,6 +15,7 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
+import statistics
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -27,6 +28,13 @@ if not jax_backend_safe():
 
 import jax
 import numpy as np
+
+# jax_backend_safe() is also True when the plugin is absent or the
+# platform is pinned to CPU — this tool would then time host-to-host
+# copies and print meaningless multi-GB/s "tunnel" rates
+if jax.default_backend() == "cpu":
+    print("default backend is cpu (no tunnel to measure)", file=sys.stderr)
+    sys.exit(2)
 
 MB = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 CYCLES = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -57,8 +65,11 @@ def fetch_k(k):
     jax.block_until_ready(slices)
     t0 = time.perf_counter()
     parts = list(pools[k].map(np.asarray, slices))
+    dt = time.perf_counter() - t0
+    # concatenate OUTSIDE the timed window: the k=1 path doesn't pay a
+    # full-payload host memcpy, so timing it here biases against k>1
     out = np.concatenate(parts, axis=0)
-    return out, time.perf_counter() - t0
+    return out, dt
 
 
 results = {1: [], 2: [], 4: []}
@@ -71,5 +82,5 @@ for c in range(CYCLES):
         print(f"cycle {c} k={k}: {rate:.1f} MB/s", file=sys.stderr, flush=True)
 
 for k, v in results.items():
-    med = sorted(v)[len(v) // 2]
+    med = round(statistics.median(v), 1)
     print(json.dumps({"workers": k, "median_MBps": med, "samples": v}))
