@@ -85,7 +85,7 @@ S51_PACKETS = int(os.environ.get("NVT_BENCH_51_PACKETS", "4096"))
 CONFIGS = [c for c in os.environ.get(
     "NVT_BENCH_CONFIGS",
     "longform_batch,host_ceiling,decode_1test_wav,chained_seek,"
-    "forward_only,surround51_48k,batch64,batch64_mixed,"
+    "forward_only,surround51_48k,batch64,batch64_mixed,device_synth,"
     "longform_batch_device,longform_batch_int16,surround51_48k_int16",
 ).split(",") if c]
 
@@ -114,23 +114,40 @@ def _enable_compile_cache():
 
 
 def _probe_link():
-    """One 8 MB device-computed fetch: records which relay phase this bench
-    ran in (measured d2h drifts 7-44 MB/s in minutes-long phases), so the
-    absolute numbers below carry their context."""
+    """Chunked device-computed fetches: records which relay phase this
+    bench ran in (measured d2h drifts 7-44 MB/s in minutes-long phases,
+    and the FIRST fetch of a fresh session has been observed taking 300 s
+    before the link settles), so the absolute numbers below carry their
+    context.  Every stage emits its own line the moment it completes, so
+    a wedge mid-probe still leaves a partial reading (stage + bytes moved)
+    for the parent to record instead of "wedged/killed"."""
     import jax
     import numpy as np
 
     try:
+        _emit({"metric": "link_probe_stage", "stage": "backend_init",
+               "backend": jax.default_backend(),
+               "t": round(time.perf_counter() - _T0, 1)})
         g = jax.jit(lambda x: x + 1.0)
-        a = g(jax.device_put(np.zeros(2 * 1024 * 1024, np.float32)))
+        a = g(jax.device_put(np.zeros(1024 * 1024, np.float32)))  # 4 MB
         a.block_until_ready()
-        np.asarray(a)  # path warmup
-        b = g(a)
-        b.block_until_ready()
-        t0 = time.perf_counter()
-        np.asarray(b)
-        rate = 8.0 / (time.perf_counter() - t0)
-        _emit({"metric": "link_d2h_MBps", "value": round(rate, 1),
+        _emit({"metric": "link_probe_stage", "stage": "first_op",
+               "t": round(time.perf_counter() - _T0, 1)})
+        rates = []
+        t_all = time.perf_counter()
+        for i in range(4):
+            b = g(a)
+            b.block_until_ready()
+            t0 = time.perf_counter()
+            np.asarray(b)
+            rates.append(4.0 / (time.perf_counter() - t0))
+            _emit({"metric": "link_probe_partial", "mb_done": 4 * (i + 1),
+                   "MBps": round(rates[-1], 1)})
+            if time.perf_counter() - t_all > 45:
+                break
+        rates.sort()
+        med = rates[len(rates) // 2]
+        _emit({"metric": "link_d2h_MBps", "value": round(med, 1),
                "backend": jax.default_backend()})
     except Exception as e:
         _emit({"metric": "link_d2h_MBps", "error": str(e)[:200]})
@@ -199,6 +216,21 @@ def _timed_best(fn, reps=REPS):
     return best
 
 
+def _timed_median(fn, reps=REPS):
+    """(median, [lo, hi]) x-realtime over ``reps`` timed runs — the
+    headline's estimator: host weather swings the single-sample best by
+    ~40% (NOTES round-4), so the metric of record carries its spread."""
+    rates = []
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        audio_sec = fn()
+        rates.append(audio_sec / (time.perf_counter() - t0))
+    rates.sort()
+    n = len(rates)
+    med = rates[n // 2] if n % 2 else (rates[n // 2 - 1] + rates[n // 2]) / 2
+    return med, [round(rates[0], 1), round(rates[-1], 1)]
+
+
 def cfg_longform_batch():
     """The headline: production ``engine="auto"`` on the long-form batch.
     In this environment auto resolves to the host engine (the relay wire
@@ -206,10 +238,12 @@ def cfg_longform_batch():
     raw = open(_long_fixture(), "rb").read()
     raws = [raw] * N_STREAMS
     decode_batch(raws)  # warm (packet tables, page pool, any jit caches)
+    med, spread = _timed_median(lambda: decode_batch(raws))
     return {
         "metric": "decode_throughput_stereo_44k1_longform_batch",
-        "value": round(_timed_best(lambda: decode_batch(raws)), 3),
+        "value": round(med, 3),
         "unit": "x_realtime_per_chip",
+        "spread": spread,
         "streams": N_STREAMS,
         "backend": _LAST_BACKEND,
     }
@@ -487,6 +521,63 @@ def cfg_batch64_mixed():
     }
 
 
+def cfg_device_synth():
+    """Fetch-free device-compute throughput (the chip's own capability,
+    independent of tunnel weather): tools/device_synth.py captures the
+    fused chunk programs (floor render + coupling + IMDCT matmul + window
+    + on-device gather OLA — the TPU replacement for
+    NVorbis/Mapping.cs:95-198 + Mdct.cs:65-313 + StreamDecoder.cs:532-541)
+    with device-resident inputs, then replays them to block_until_ready
+    with the PCM left on device.  Runs in a child (a wedged relay costs
+    this config, not the round).  When the relay is dead the same program
+    is measured on the host CPU backend (tagged) — the honest ceiling
+    arithmetic for the relay-bound end-to-end path stays in
+    PERFORMANCE.md."""
+    env = dict(os.environ)
+    env.pop("NVT_BENCH_CHILD", None)
+    note = None
+    if not _tpu_link_alive():
+        env["NVT_SYNTH_CPU"] = "1"
+        note = ("relay dead: same program measured on the CPU backend "
+                "(device-compute metric needs the chip)")
+    streams = os.environ.get("NVT_SYNTH_STREAMS", "8")
+    repeats = os.environ.get("NVT_SYNTH_REPEATS", "16")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "device_synth.py"),
+         streams, repeats, "5"],
+        env=env, capture_output=True, text=True, timeout=560,
+    )
+    value = spread = backend = audio = None
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("device_synth_x:"):
+            value = float(ln.split(":", 1)[1])
+        elif ln.startswith("device_synth_spread:"):
+            lo, hi = ln.split(":", 1)[1].split()
+            spread = [float(lo), float(hi)]
+        elif ln.startswith("backend:"):
+            backend = ln.split(":", 1)[1].strip()
+        elif ln.startswith("audio_sec:"):
+            audio = float(ln.split(":", 1)[1])
+    if value is None:
+        tail = (proc.stderr or "").strip().splitlines()
+        raise RuntimeError(
+            f"device_synth child rc={proc.returncode}: "
+            + (tail[-1] if tail else "no output")
+        )
+    line = {
+        "metric": "device_synth_throughput",
+        "value": value,
+        "unit": "x_realtime_per_chip",
+        "spread": spread,
+        "audio_sec": audio,
+        "streams": int(streams),
+        "backend": backend,
+    }
+    if note:
+        line["note"] = note
+    return line
+
+
 def cfg_host_ceiling():
     """Host-engine throughput through the REAL production path
     (tools/host_ceiling.py: BatchDecoder(engine="host"), real synthesis,
@@ -535,6 +626,7 @@ _CFG_FNS = {
     "surround51_48k_int16": cfg_surround51_48k_int16,
     "batch64": cfg_batch64,
     "batch64_mixed": cfg_batch64_mixed,
+    "device_synth": cfg_device_synth,
     "host_ceiling": cfg_host_ceiling,
 }
 
@@ -554,6 +646,7 @@ MIN_LEFT = {"batch64": 150.0, "batch64_mixed": 150.0,
             "longform_batch_device": 400.0,
             "longform_batch_int16": 300.0,
             "surround51_48k": 100.0, "surround51_48k_int16": 150.0,
+            "device_synth": 200.0,
             "decode_1test_wav": float("-inf"),
             "chained_seek": float("-inf"),
             "host_ceiling": float("-inf")}
@@ -645,6 +738,12 @@ def _plans_for(name, link_rate):
     elif name == "forward_only":
         plans = [({}, 700.0),
                  ({"NVT_BENCH_FWD_REPEATS": "2"}, 450.0)]
+    elif name == "device_synth":
+        # the replay itself is transfer-free; only the capture decode's
+        # uploads ride the relay, so tiers shrink the capture workload
+        plans = [({}, 620.0),
+                 ({"NVT_SYNTH_STREAMS": "2", "NVT_SYNTH_REPEATS": "4"},
+                  450.0)]
     else:
         # cheap configs: one attempt with a generous floor (even "cheap"
         # configs pay cold compiles/build in a slow phase)
@@ -690,7 +789,7 @@ def parent_main():
             env["NVT_BENCH_PROBE_ONLY"] = "1"
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=180,
+                env=env, capture_output=True, text=True, timeout=420,
             )
             for ln in proc.stderr.splitlines():
                 if ln.startswith("{"):
@@ -698,10 +797,33 @@ def parent_main():
                     rec = json.loads(ln)
                     if rec.get("metric") == "link_d2h_MBps" and "value" in rec:
                         link_rate = rec["value"]
-        except subprocess.TimeoutExpired:
-            link_rate = 0.0  # probe wedged: treat the link as near-dead
-            _emit({"metric": "link_probe",
-                   "error": "probe child wedged/killed"})
+        except subprocess.TimeoutExpired as e:
+            # the probe emits a line per stage, so a wedge still leaves a
+            # partial reading: the stage reached + any per-chunk rates
+            err = e.stderr or ""
+            if isinstance(err, bytes):
+                err = err.decode(errors="replace")
+            stage, partial_rate, mb_done = "spawned", None, 0
+            for ln in err.splitlines():
+                if not ln.startswith("{"):
+                    continue
+                print(ln, file=sys.stderr, flush=True)
+                try:
+                    rec = json.loads(ln)
+                except ValueError:
+                    continue
+                m = rec.get("metric")
+                if m == "link_probe_stage":
+                    stage = rec.get("stage", stage)
+                elif m == "link_probe_partial":
+                    partial_rate = rec.get("MBps")
+                    mb_done = rec.get("mb_done", mb_done)
+                elif m == "link_d2h_MBps" and "value" in rec:
+                    partial_rate = rec["value"]
+            link_rate = partial_rate if partial_rate is not None else 0.0
+            _emit({"metric": "link_probe", "partial": True,
+                   "stage_reached": stage, "mb_fetched": mb_done,
+                   "MBps_last": partial_rate})
         except Exception as e:
             _emit({"metric": "link_probe", "error": str(e)[:120]})
 
@@ -729,12 +851,13 @@ def parent_main():
         # relay the child's JSON stderr lines (metrics, probe, errors)
         for ln in err.splitlines():
             if ln.startswith("{"):
-                print(ln, file=sys.stderr, flush=True)
                 try:
                     rec = json.loads(ln)
                 except ValueError:
+                    print(ln, file=sys.stderr, flush=True)
                     continue
                 if rec.get("metric") == "link_d2h_MBps":
+                    print(ln, file=sys.stderr, flush=True)
                     if "value" in rec and link_rate is None:
                         link_rate = rec["value"]
                     continue
@@ -742,9 +865,14 @@ def parent_main():
                     got = True
                 if rec.get("metric") == _HEADLINE_METRIC and rec.get(
                         "value"):
+                    # NOT relayed to stderr: the headline is emitted exactly
+                    # once, on stdout, after its attempts finish (BENCH_r04
+                    # carried it twice)
                     if headline_line is None or (
                             rec["value"] > headline_line.get("value", 0)):
                         headline_line = rec
+                    continue
+                print(ln, file=sys.stderr, flush=True)
         return got
 
     for name in CONFIGS:

@@ -45,10 +45,17 @@ from nvorbis_tpu.utils.fetch import (
 )
 
 
-def _bucket_size(b: int) -> int:
+def _bucket_size(b: int, shard_mult: int = 1) -> int:
     """Padded frame-batch extent for one bucket (min 16; see
-    engine/plan.pad_quantum for the grid + the on-chip measurement)."""
-    return _pad_quantum(b, 16)
+    engine/plan.pad_quantum for the grid + the on-chip measurement).
+
+    ``shard_mult``: the mesh ``stream`` extent — frame-sharded tensors
+    must be divisible by it (an odd mesh over the 16-quantum grid fails
+    pjit's divisibility check otherwise; caught by the 3-device dryrun)."""
+    q = _pad_quantum(b, 16)
+    if shard_mult > 1 and q % shard_mult:
+        q = ((q + shard_mult - 1) // shard_mult) * shard_mult
+    return q
 
 
 @functools.lru_cache(maxsize=64)
@@ -201,11 +208,17 @@ class BatchDecoder:
 
             enable_page_recycling()
         self.clip_samples = clip_samples
+        self._capture = None  # list -> _dispatch records (cfg, args, L_real)
+        self._capture_only = False  # skip PCM fetches during capture (the
+        # replay tool needs only the device-resident args; lets capture run
+        # even in relay phases where bulk d2h is wedged)
         self._staging_pool = {}  # see _dispatch.staged (worker path only)
         self._mesh_key = None
+        self._shard_mult = 1  # mesh 'stream' extent: frame-axis divisor
         if mesh is not None:
             self._mesh_key = ("mesh", id(mesh))
             _MESHES[self._mesh_key] = mesh
+            self._shard_mult = int(dict(mesh.shape).get("stream", 1))
         # tunnel-relay environments route device work through a
         # respawnable child process (wedge survival at device speed; see
         # engine/device_worker.py); mesh mode keeps in-process execution
@@ -861,7 +874,7 @@ class BatchDecoder:
             cs = [st for st in carries
                   if setup0.modes[st.carry[0]["meta"][1]].block_size == n]
             B = len(ridx) + len(cs)
-            B_pad = _bucket_size(B)
+            B_pad = _bucket_size(B, self._shard_mult)
             if self._sym:
                 from nvorbis_tpu.synth.residue_sym import (
                     CLASS_SENTINEL, flatten_ids, round_ids,
@@ -1070,6 +1083,17 @@ class BatchDecoder:
             fn = _batch_program(cfg, self._mesh_key)
             out = fn(*args)
             out_f = out[:L_fetch] if L_fetch != L_pad else out
+            if self._capture is not None:
+                # fetch-free replay hook (tools/device_synth.py): in-process
+                # args are device-resident arrays, so (cfg, args) replays
+                # the compiled program with zero host<->device transfer
+                self._capture.append((cfg, args, L_real))
+                if self._capture_only:
+                    def finish():
+                        pass
+
+                    finish.device_out = out_f
+                    return finish
 
             def finish():
                 host = fetch_pcm(out_f, quantized=i16)
