@@ -545,7 +545,7 @@ def cfg_device_synth():
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "tools", "device_synth.py"),
          streams, repeats, "5"],
-        env=env, capture_output=True, text=True, timeout=560,
+        env=env, capture_output=True, text=True, timeout=1150,
     )
     value = spread = backend = audio = None
     for ln in proc.stdout.splitlines():
@@ -740,10 +740,12 @@ def _plans_for(name, link_rate):
                  ({"NVT_BENCH_FWD_REPEATS": "2"}, 450.0)]
     elif name == "device_synth":
         # the replay itself is transfer-free; only the capture decode's
-        # uploads ride the relay, so tiers shrink the capture workload
-        plans = [({}, 620.0),
+        # uploads ride the relay, so tiers shrink the capture workload.
+        # Generous limits: the session's first d2h fetch (the completion
+        # barrier) has been observed stalling ~300 s before settling
+        plans = [({}, 1200.0),
                  ({"NVT_SYNTH_STREAMS": "2", "NVT_SYNTH_REPEATS": "4"},
-                  450.0)]
+                  900.0)]
     else:
         # cheap configs: one attempt with a generous floor (even "cheap"
         # configs pay cold compiles/build in a slow phase)

@@ -1185,6 +1185,76 @@ inline void emit_role(const FrameSrc& fs, int64_t f, int c, int64_t off,
     o[t * C + c] = t >= fin_from ? fin(v) : v;
   }
 }
+
+// Interleaved all-channels emit: same values and op order as C calls of
+// emit_role, but ONE contiguous pass over the interleaved output instead
+// of C stride-C passes (the 6-pass walk was 40% of a 5.1 decode; writes
+// revisit every output cache line C*samples/line times).  Channel g rows
+// are hoisted into a pointer array; capped at kMaxChI channels (callers
+// fall back to the per-channel walk above beyond that).
+constexpr int kMaxChI = 16;
+
+// CT > 0: compile-time channel count (the c-loops fully unroll; 2/4/6/8
+// cover every common layout); CT == -1: dynamic fallback.
+template <bool Add, int CT, typename Fin>
+inline void emit_all(const FrameSrc& fs, int64_t f, int64_t off, int64_t L,
+                     float* o, int32_t C_dyn, int64_t fin_from, Fin&& fin) {
+  const int C = CT > 0 ? CT : C_dyn;
+  const float* gp[kMaxChI];
+  if (fs.fbuck[f] < 0) {  // carry row: already finished+windowed
+    for (int c = 0; c < C; ++c)
+      gp[c] = fs.carry_row + (int64_t)c * fs.n_max + off;
+    for (int64_t t = 0; t < L; ++t) {
+      float* ot = o + t * C;
+      const bool fi = t >= fin_from;
+      for (int c = 0; c < C; ++c) {
+        float v = Add ? ot[c] + gp[c][t] : gp[c][t];
+        ot[c] = fi ? fin(v) : v;
+      }
+    }
+    return;
+  }
+  const int n = fs.fns[f];
+  const int n2 = n / 2, n4 = n / 4;
+  const float* g0 = fs.gs[fs.fbuck[f]] + (fs.frow[f] * C) * (int64_t)n2;
+  for (int c = 0; c < C; ++c) gp[c] = g0 + (int64_t)c * n2;
+  const float* w = fs.fwin[f];
+  int64_t t = 0;
+  // region A: x in [0, n4): v = (g[n4+x] * 0.5f) * w[x]
+  for (int64_t hi = std::min<int64_t>(L, n4 - off); t < hi; ++t) {
+    int64_t x = off + t;
+    float* ot = o + t * C;
+    const bool fi = t >= fin_from;
+    for (int c = 0; c < C; ++c) {
+      float v = (gp[c][n4 + x] * 0.5f) * w[x];
+      if (Add) v += ot[c];
+      ot[c] = fi ? fin(v) : v;
+    }
+  }
+  // region B: x in [n4, 3n4): v = (-g[3n4-1-x] * 0.5f) * w[x]
+  for (int64_t hi = std::min<int64_t>(L, 3 * (int64_t)n4 - off); t < hi;
+       ++t) {
+    int64_t x = off + t;
+    float* ot = o + t * C;
+    const bool fi = t >= fin_from;
+    for (int c = 0; c < C; ++c) {
+      float v = (-gp[c][3 * n4 - 1 - x] * 0.5f) * w[x];
+      if (Add) v += ot[c];
+      ot[c] = fi ? fin(v) : v;
+    }
+  }
+  // region C: x in [3n4, n)
+  for (; t < L; ++t) {
+    int64_t x = off + t;
+    float* ot = o + t * C;
+    const bool fi = t >= fin_from;
+    for (int c = 0; c < C; ++c) {
+      float v = (-gp[c][x - 3 * n4] * 0.5f) * w[x];
+      if (Add) v += ot[c];
+      ot[c] = fi ? fin(v) : v;
+    }
+  }
+}
 }  // namespace
 
 // ------------------------------------------------------------------ C API
@@ -1494,18 +1564,45 @@ void nvt_finish_ola(
     }
     return v;
   };
-  for (int64_t k = 0; k < nseg; ++k) {
-    int64_t L = lens[k];
-    if (L <= 0) continue;
-    float* o = out + s[k] * C;
-    int64_t pf = prim[k] / n_max, poff = prim[k] % n_max;
-    int64_t S = sl[k];
-    for (int c = 0; c < C; ++c)
-      emit_role<false>(fs, pf, c, poff, L, o, C, S, fin);
-    if (S > 0) {
-      int64_t sf = sec[k] / n_max, soff = sec[k] % n_max;
+  const bool inter = C <= kMaxChI && !std::getenv("NVT_NO_OLAI");
+  auto seg_loop = [&](auto ct) {
+    constexpr int CT = decltype(ct)::value;
+    for (int64_t k = 0; k < nseg; ++k) {
+      int64_t L = lens[k];
+      if (L <= 0) continue;
+      float* o = out + s[k] * C;
+      int64_t pf = prim[k] / n_max, poff = prim[k] % n_max;
+      int64_t S = sl[k];
+      emit_all<false, CT>(fs, pf, poff, L, o, C, S, fin);
+      if (S > 0) {
+        int64_t sf = sec[k] / n_max, soff = sec[k] % n_max;
+        emit_all<true, CT>(fs, sf, soff, S, o, C, 0, fin);
+      }
+    }
+  };
+  if (inter) {
+    switch (C) {  // compile-time channel counts: the c-loops unroll
+      case 1: seg_loop(std::integral_constant<int, 1>{}); break;
+      case 2: seg_loop(std::integral_constant<int, 2>{}); break;
+      case 4: seg_loop(std::integral_constant<int, 4>{}); break;
+      case 6: seg_loop(std::integral_constant<int, 6>{}); break;
+      case 8: seg_loop(std::integral_constant<int, 8>{}); break;
+      default: seg_loop(std::integral_constant<int, -1>{}); break;
+    }
+  } else {
+    for (int64_t k = 0; k < nseg; ++k) {
+      int64_t L = lens[k];
+      if (L <= 0) continue;
+      float* o = out + s[k] * C;
+      int64_t pf = prim[k] / n_max, poff = prim[k] % n_max;
+      int64_t S = sl[k];
       for (int c = 0; c < C; ++c)
-        emit_role<true>(fs, sf, c, soff, S, o, C, 0, fin);
+        emit_role<false>(fs, pf, c, poff, L, o, C, S, fin);
+      if (S > 0) {
+        int64_t sf = sec[k] / n_max, soff = sec[k] % n_max;
+        for (int c = 0; c < C; ++c)
+          emit_role<true>(fs, sf, c, soff, S, o, C, 0, fin);
+      }
     }
   }
   if (maxabs_io) *maxabs_io = mx;
