@@ -426,7 +426,9 @@ def cfg_surround51_48k():
     decode_batch(raws)  # warm
     return {
         "metric": "decode_throughput_51_48k_residue2",
-        "value": round(_timed_best(lambda: decode_batch(raws), reps=1), 3),
+        # best-of-2 (same rationale as batch64: the first timed rep on a
+        # snapshot-VM host still pays first-touch transients)
+        "value": round(_timed_best(lambda: decode_batch(raws), reps=2), 3),
         "unit": "x_realtime_per_chip",
         "streams": 4,
         "backend": _LAST_BACKEND,

@@ -167,6 +167,10 @@ class JaxPipeline:
         if self._window <= self._ORACLE_WINDOW:
             return self._fill_ramp()
         if self._native is not None:
+            if getattr(self._native, "spec_only", False):
+                # Floor0: no dense/device form — host spectrum lane, even
+                # in device mode (correct, just not device-synthesized)
+                return self._fill_native_host()
             return self._fill_native()
         dec = self._decoder
         results = []
@@ -259,8 +263,10 @@ class JaxPipeline:
 
         spec_lane = (
             getattr(self._native, "has_spec", False)
-            and not os.environ.get("NVT_HOST_NO_SPEC")
-            and not os.environ.get("NVT_HOST_F64")
+            and (getattr(self._native, "spec_only", False)  # Floor0: the
+                 # spectrum lane is the only native form
+                 or (not os.environ.get("NVT_HOST_NO_SPEC")
+                     and not os.environ.get("NVT_HOST_F64")))
         )
         if spec_lane:
             from nvorbis_tpu.engine.host import HostSynth

@@ -248,7 +248,9 @@ class HostBulkDecoder:
         # NVT_HOST_NO_SPEC=1 pins the Python path for A/Bs and tests
         self._spec = (
             getattr(native, "has_spec", False)
-            and not os.environ.get("NVT_HOST_NO_SPEC")
+            and (getattr(native, "spec_only", False)  # Floor0: spec is the
+                 # ONLY native lane — the ys-posts path cannot express it
+                 or not os.environ.get("NVT_HOST_NO_SPEC"))
         )
         # fused lane: DCT-IV in scipy, then ONE C++ pass mapping the DCT
         # output to IMDCT order, windowing and scattering into the row

@@ -276,13 +276,10 @@ def _native_table_bits() -> int:
 def serialize_setup(setup, max_posts):
     """Flatten a parsed setup into (int32 blob, float32 blob).
 
-    Returns None when the setup cannot be represented (Floor0 present).
-    Layout must match nvt_setup_create in host_decode.cpp.
+    Layout must match nvt_setup_create in host_decode.cpp.  Floor0 setups
+    serialize their precomputed bark/w maps (spec-mode-only native plane;
+    see NativeUnpacker.spec_only).
     """
-    for f in setup.floors:
-        if not isinstance(f, Floor1):
-            return None
-
     ints = []
     floats = []
     book_index = {id(b): i for i, b in enumerate(setup.codebooks)}
@@ -342,6 +339,24 @@ def serialize_setup(setup, max_posts):
             ints += [code, mask, length, value]
 
     for f in setup.floors:
+        if not isinstance(f, Floor1):
+            # Floor0 (LSP): ship the precomputed bark/w maps so the C++
+            # curve evaluation is float-identical to codec/floor.py's
+            # (spec-mode-only: Floor0 has no ys-posts form — see
+            # NativeUnpacker.spec_only)
+            ints += [0, f.order, f.amp_bits, f.amp_ofs, f.book_bits,
+                     len(f.books)]
+            ints.extend(book_index[id(b)] for b in f.books)
+            for bs in (block0, block1):
+                bark = np.asarray(f._bark_maps[bs], dtype=np.int64)
+                assert bark.shape[0] == bs // 2 + 1
+                ints.extend(bark.astype(np.int32).tolist())
+            for bs in (block0, block1):
+                w = np.asarray(f._w_maps[bs], dtype=np.float32)
+                assert w.shape[0] == bs // 2
+                ints.append(len(floats))
+                floats.extend(w.tolist())
+            continue
         max_class = len(f.class_dims)
         ints += [1, len(f.partition_class), max_class, f.post_count,
                  f.y_bits, f.range, f.multiplier]
@@ -421,12 +436,15 @@ class NativeUnpacker:
         self.channels = setup.channels
         self.max_posts = max_posts
         self.n2max = setup.block1_size // 2
+        # Floor0 setups have no ys-posts (dense/symbol) form: only the
+        # spectrum-mode entry points are valid (the C++ twins guard too)
+        self.spec_only = any(not isinstance(f, Floor1) for f in setup.floors)
 
         # residue symbol mode (see synth/residue_sym.py): available when the
         # setup's residues admit partition-local symbol addressing
         from nvorbis_tpu.synth.residue_sym import plan_for_setup, sym_geometry
 
-        self.sym_plans = plan_for_setup(setup)
+        self.sym_plans = None if self.spec_only else plan_for_setup(setup)
         if self.sym_plans is not None:
             self._sym_geom = sym_geometry(setup, self.sym_plans)
 

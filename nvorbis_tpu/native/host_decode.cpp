@@ -21,6 +21,7 @@
 // Float accumulation is element-wise float32 adds in the same order as the
 // numpy reference path, so outputs are bit-identical to frames.py.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -138,6 +139,19 @@ struct Floor1 {
   const int32_t* xs_sorted;        // [post_count] (derived at setup_create)
 };
 
+// LSP floor on the Bark scale (floor type 0 — legacy, rarely used).
+// Bark/w maps are precomputed host-side (codec/floor.py Floor0) and travel
+// in the setup blob so curves are float-identical to the python oracle.
+// Reference: NVorbis/Floor0.cs.
+struct Floor0c {
+  int32_t order, amp_bits, amp_ofs, book_bits, n_books;
+  const int32_t* book_idx;  // [n_books]
+  const int32_t* bark0;     // [block0/2 + 1]
+  const int32_t* bark1;     // [block1/2 + 1]
+  const float* w0;          // [block0/2]
+  const float* w1;          // [block1/2]
+};
+
 struct Residue {
   int32_t type, begin, end, partition_size, classifications, classbook,
       max_stages, partvals, cb_dims;
@@ -166,8 +180,10 @@ struct Mode {
 struct Setup {
   int32_t channels, mode_field_bits, max_posts, block0, block1, n2max;
   std::vector<Codebook> books;
-  std::vector<Floor1> floors;       // floor type 0 disables native path
+  std::vector<Floor1> floors;    // valid where floor_types[i] == 1
+  std::vector<Floor0c> floor0s;  // valid where floor_types[i] == 0
   std::vector<int32_t> floor_types;
+  int32_t f0_max_order = 0;  // scratch sizing for Floor0 coefficients
   std::vector<Residue> residues;
   std::vector<Mapping> mappings;
   std::vector<Mode> modes;
@@ -181,6 +197,7 @@ struct Setup {
   // in-process alternating benchmarks (tools/ab_variants.py pattern) can
   // flip them between decoder constructions:
   bool no_t2ch2;      // NVT_NO_T2CH2: disable the stereo type-2 fast lane
+  bool no_tgen;       // NVT_NO_TGEN: disable the generalized aligned lane
   bool floor_div;     // NVT_FLOOR_DIV: per-bin closed-form division in
                       // floor_apply instead of the incremental renderer
   bool floor_inc;     // NVT_FLOOR_INC: incremental (base/err) renderer
@@ -220,6 +237,8 @@ struct Scratch {
   std::vector<int32_t> spec_ys;          // spectrum mode: floor posts stay
   std::vector<uint8_t> spec_used;        // thread-local, never leave
   std::vector<uint8_t> has_floor;
+  std::vector<float> f0_amp;             // Floor0: per-channel amplitude
+  std::vector<float> f0_coeffs;          // Floor0: [C, max_order+1] LSP
 };
 inline Scratch& scratch() {
   static thread_local Scratch sc;
@@ -333,6 +352,79 @@ bool floor1_unpack(const Setup& s, const Floor1& f, BitReader& br,
     used_out[i] = used[si];
   }
   return true;
+}
+
+// Floor0 (LSP) unpack: amplitude + LSP coefficients from one codebook,
+// with the last-of-vector "averaging" carry.  Float op order matches the
+// python oracle (codec/floor.py Floor0.unpack) exactly.
+// Reference: NVorbis/Floor0.cs:98-150.
+bool floor0_unpack(const Setup& s, const Floor0c& f, BitReader& br,
+                   float* amp_out, float* coeffs) {
+  int64_t ampi = (int64_t)br.read(f.amp_bits);
+  if (ampi <= 0) return false;
+  float amp = (float)ampi / (float)((1u << f.amp_bits) - 1)
+              * (float)f.amp_ofs;
+  int bn = (int)br.read(f.book_bits);
+  if (bn >= f.n_books) return false;
+  const Codebook& book = s.books[f.book_idx[bn]];
+  if (book.lookup == nullptr) return false;
+  const int order = f.order, dims = book.dims;
+  for (int k = 0; k <= order; ++k) coeffs[k] = 0.0f;
+  int i = 0;
+  while (i < order) {
+    int e = book.decode_scalar(br);
+    if (e == -1) return false;
+    const float* row = &book.lookup[(int64_t)e * dims];
+    for (int j = 0; i < order && j < dims; ++j, ++i) coeffs[i] = row[j];
+  }
+  float last = 0.0f;
+  int j = 0;
+  while (j < order) {
+    for (int k = 0; j < order && k < dims; ++k, ++j) coeffs[j] += last;
+    last = coeffs[j - 1];
+  }
+  *amp_out = amp;
+  return true;
+}
+
+// Floor0 curve multiply: evaluate the LSP filter response per bark run and
+// scale the residue row in place.  p/q chains run in float32 in the
+// oracle's exact op order; the 2cos(lsp) precompute is f64 -> f32 like the
+// oracle's.  Reference: NVorbis/Floor0.cs:152-212.
+void floor0_apply(const Floor0c& f, const int32_t* bark, const float* wmap,
+                  int n2, float amp, const float* lsp, float* row) {
+  const int order = f.order;
+  float cos2[256];  // order is an 8-bit field
+  for (int j2 = 0; j2 < order; ++j2)
+    cos2[j2] = (float)(2.0 * std::cos((double)lsp[j2]));
+  const float amp_ofs = (float)f.amp_ofs;
+  int i = 0;
+  while (i < n2) {
+    const int k = bark[i];
+    float p = 0.5f, q = 0.5f;
+    const float w = wmap[k];
+    int j = 1;
+    for (; j < order; j += 2) {
+      q = q * (w - cos2[j - 1]);
+      p = p * (w - cos2[j]);
+    }
+    if (j == order) {  // odd order
+      q = q * (w - cos2[j - 1]);
+      p = p * p * (4.0f - w * w);
+      q = q * q;
+    } else {
+      p = p * p * (2.0f - w);
+      q = q * q * (2.0f + w);
+    }
+    float v = amp / std::sqrt(p + q) - amp_ofs;
+    v = std::exp(v * 0.11512925f);
+    row[i] *= v;
+    for (;;) {
+      ++i;
+      if (i >= n2 || bark[i] != k) break;
+      row[i] *= v;
+    }
+  }
 }
 
 // ------------------------------------------------------------ residue decode
@@ -486,6 +578,46 @@ void residue_decode(const Setup& s, const Residue& r, BitReader& br,
                 // no-overshoot partitions (dims | psize) skip the
                 // per-element bound check: offset + psize <= end <= half
                 const bool exact = steps * dims == psize;
+                if (exact && cc == 0 && psize % ch == 0 && ch <= 16 &&
+                    (ch & 1) == 0 && !s.no_tgen) {
+                  // generalized aligned lane (the stereo trick for any
+                  // even channel count, e.g. 5.1): partitions start
+                  // channel-aligned and cover whole bins, so the channel
+                  // cursor advances deterministically — the wrap check
+                  // moves from per-element to per-run, and local channel
+                  // pointers skip the vector indirection.  Adds execute
+                  // in the generic loop's exact order (bit-identical).
+                  float* bp[16];
+                  for (int c2 = 0; c2 < ch; ++c2) bp[c2] = bufs[c2];
+                  int cc2 = 0;
+                  if (dims == 2) {  // dominant books: cc2 stays even, so
+                    for (int i = 0; i < steps; ++i) {  // no mid-vector
+                      int e = book.decode_scalar(br);  // wrap ever
+                      if (e == -1) return;
+                      const float* rowv = &book.lookup[(int64_t)e * 2];
+                      bp[cc2][oi] += rowv[0];
+                      bp[cc2 + 1][oi] += rowv[1];
+                      cc2 += 2;
+                      if (cc2 == ch) { cc2 = 0; ++oi; }
+                    }
+                    continue;
+                  }
+                  for (int i = 0; i < steps; ++i) {
+                    int e = book.decode_scalar(br);
+                    if (e == -1) return;
+                    const float* rowv = &book.lookup[(int64_t)e * dims];
+                    int dd = 0;
+                    while (dd < dims) {
+                      int run = std::min(dims - dd, ch - cc2);
+                      for (int k2 = 0; k2 < run; ++k2)
+                        bp[cc2 + k2][oi] += rowv[dd + k2];
+                      dd += run;
+                      cc2 += run;
+                      if (cc2 == ch) { cc2 = 0; ++oi; }
+                    }
+                  }
+                  continue;
+                }
                 bool bail = false;
                 for (int i = 0; i < steps && !bail; ++i) {
                   int e = book.decode_scalar(br);
@@ -712,6 +844,10 @@ void unpack_one(const Setup& s, const uint8_t* bytes, int64_t nbytes,
   BitReader br(bytes, nbytes);
   std::memset(meta, 0, sizeof(int32_t) * 8);
   meta[4] = (int32_t)br.nbits;
+  if (s.f0_max_order) {  // Floor0 has no ys-posts form: spec mode only
+    meta[0] = -1;        // (python gates via NativeUnpacker.spec_only;
+    return;              // this is defense in depth)
+  }
 
   if (br.read_bit()) {  // not an audio packet
     meta[0] = 0;
@@ -948,11 +1084,22 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
   sc.spec_ys.assign((size_t)C * P, 0);
   sc.spec_used.assign((size_t)C * P, 0);
   sc.execute.assign(C, 0);
+  if (s.f0_max_order) {
+    sc.f0_amp.assign(C, 0.0f);
+    sc.f0_coeffs.assign((size_t)C * (s.f0_max_order + 1), 0.0f);
+  }
   for (int c = 0; c < C; ++c) {
-    const Floor1& f = s.floors[mapping.submap_floor[mapping.mux[c]]];
-    sc.execute[c] = floor1_unpack(s, f, br, &sc.spec_ys[(size_t)c * P],
-                                  &sc.spec_used[(size_t)c * P], P)
-                        ? 1 : 0;
+    const int fi = mapping.submap_floor[mapping.mux[c]];
+    if (s.floor_types[fi] == 0) {
+      sc.execute[c] = floor0_unpack(
+          s, s.floor0s[fi], br, &sc.f0_amp[c],
+          &sc.f0_coeffs[(size_t)c * (s.f0_max_order + 1)]) ? 1 : 0;
+    } else {
+      const Floor1& f = s.floors[fi];
+      sc.execute[c] = floor1_unpack(s, f, br, &sc.spec_ys[(size_t)c * P],
+                                    &sc.spec_used[(size_t)c * P], P)
+                          ? 1 : 0;
+    }
     std::memset(spec_out + (int64_t)c * s.n2max, 0, sizeof(float) * n2);
   }
   if (cyc) {
@@ -1024,7 +1171,16 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
       std::memset(row, 0, sizeof(float) * n2);
       continue;
     }
-    const Floor1& f = s.floors[mapping.submap_floor[mapping.mux[c]]];
+    const int fi = mapping.submap_floor[mapping.mux[c]];
+    if (s.floor_types[fi] == 0) {
+      const Floor0c& f0 = s.floor0s[fi];
+      const bool short_blk = (n2 == s.block0 / 2);
+      floor0_apply(f0, short_blk ? f0.bark0 : f0.bark1,
+                   short_blk ? f0.w0 : f0.w1, n2, sc.f0_amp[c],
+                   &sc.f0_coeffs[(size_t)c * (s.f0_max_order + 1)], row);
+      continue;
+    }
+    const Floor1& f = s.floors[fi];
     floor_apply(f, s.inv_db, &sc.spec_ys[(size_t)c * P],
                 &sc.spec_used[(size_t)c * P], n2, row, s.floor_div,
                 s.floor_inc);
@@ -1051,6 +1207,10 @@ void unpack_one_sym(const Setup& s, const uint8_t* bytes, int64_t nbytes,
   std::memset(meta, 0, sizeof(int32_t) * 8);
   std::memset(classes_out, kClassSentinel, (size_t)chr_max * n_part_max);
   meta[4] = (int32_t)br.nbits;
+  if (s.f0_max_order) {  // Floor0: spec mode only (see unpack_one)
+    meta[0] = -1;
+    return;
+  }
 
   if (br.read_bit()) {
     meta[0] = 0;
@@ -1255,6 +1415,7 @@ inline void emit_all(const FrameSrc& fs, int64_t f, int64_t off, int64_t L,
     }
   }
 }
+
 }  // namespace
 
 // ------------------------------------------------------------------ C API
@@ -1268,6 +1429,7 @@ void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
   if (ni < 13 || blob_i[0] != kMagic) return nullptr;
   Setup* s = new Setup();
   s->no_t2ch2 = std::getenv("NVT_NO_T2CH2") != nullptr;
+  s->no_tgen = std::getenv("NVT_NO_TGEN") != nullptr;
   s->floor_div = std::getenv("NVT_FLOOR_DIV") != nullptr;
   s->floor_inc = std::getenv("NVT_FLOOR_INC") != nullptr;
   s->blob_i.assign(blob_i, blob_i + ni);
@@ -1312,7 +1474,33 @@ void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
   for (int f = 0; f < n_floors; ++f) {
     int type = p[i++];
     s->floor_types.push_back(type);
-    if (type != 1) { delete s; return nullptr; }  // Floor0: python fallback
+    if (type == 0) {
+      // Floor0 (LSP): bark/w maps precomputed host-side travel in the
+      // blobs; spectrum-mode unpack evaluates the curve natively.  The
+      // dense (ys-posts) plane has no Floor0 representation — python
+      // gates those paths (NativeUnpacker.spec_only).
+      Floor0c f0{};
+      f0.order = p[i++]; f0.amp_bits = p[i++]; f0.amp_ofs = p[i++];
+      f0.book_bits = p[i++]; f0.n_books = p[i++];
+      f0.book_idx = &p[i]; i += f0.n_books;
+      f0.bark0 = &p[i]; i += s->block0 / 2 + 1;
+      f0.bark1 = &p[i]; i += s->block1 / 2 + 1;
+      int w0o = p[i++], w1o = p[i++];
+      f0.w0 = fp + w0o;
+      f0.w1 = fp + w1o;
+      if (f0.order < 1 || f0.order > 255 || f0.amp_bits < 0 ||
+          f0.amp_bits > 63 || f0.n_books < 1) {
+        delete s;
+        return nullptr;
+      }
+      if (f0.order > s->f0_max_order) s->f0_max_order = f0.order;
+      s->floor0s.push_back(f0);
+      s->floors.push_back(Floor1{});  // placeholder: keeps indexing flat
+      s->xs_sorteds.emplace_back();
+      continue;
+    }
+    if (type != 1) { delete s; return nullptr; }
+    s->floor0s.push_back(Floor0c{});  // placeholder
     Floor1 fl;
     fl.partition_count = p[i++]; fl.max_class = p[i++]; fl.post_count = p[i++];
     fl.y_bits = p[i++]; fl.range = p[i++]; fl.multiplier = p[i++];
@@ -1565,6 +1753,11 @@ void nvt_finish_ola(
     return v;
   };
   const bool inter = C <= kMaxChI && !std::getenv("NVT_NO_OLAI");
+  // (a combined primary+secondary single-store pass over the lapped
+  // prefix was built and A/B'd here: 0.175 s vs 0.156 s median for this
+  // two-pass form on the 5.1 workload — the secondary's reload hits L1
+  // while the per-element region compares the combined form needs cost
+  // more than the store+load they save; reverted)
   auto seg_loop = [&](auto ct) {
     constexpr int CT = decltype(ct)::value;
     for (int64_t k = 0; k < nseg; ++k) {

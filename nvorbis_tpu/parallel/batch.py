@@ -345,12 +345,24 @@ class BatchDecoder:
             return self._decode_all_host()
         groups = defaultdict(list)
         for st in self._streams:
-            if st.native is None:
-                # host-plane fallback: decode this stream on its own
-                # (sequential numpy synthesis); co-batching requires the
-                # native symbol unpacker
+            if st.native is None or getattr(st.native, "spec_only", False):
+                # fallback: no native plane -> per-stream oracle decode;
+                # spec-only native (Floor0) -> the host engine's spectrum
+                # lane (the device planes have no Floor0 form)
                 st.reader.clip_samples = self.clip_samples
-                st.out = [st.reader.read_all()]
+                st.pcm = None  # fallback decoders return their own buffer
+                if st.native is not None:
+                    from nvorbis_tpu.engine.host import HostBulkDecoder
+
+                    st.decoder._started = True
+                    hb = HostBulkDecoder(st.decoder, st.native,
+                                         table=st.table,
+                                         clip=self.clip_samples)
+                    st.out = [hb.run()]
+                    if self.clip_samples and hb.maxabs > CLIP_LIMIT:
+                        st.decoder._has_clipped = True
+                else:
+                    st.out = [st.reader.read_all()]
                 st.done = True
                 continue
             groups[self._group_key(st.decoder._setup, st.native)].append(st)
@@ -487,7 +499,11 @@ class BatchDecoder:
             plan_static, plan_tables_dev,
         )
 
-        sym_plans = getattr(members[0].native, "sym_plans", None)
+        # NVT_NO_SYMBOLS forces dense residue staging (host-built spectra,
+        # 16x the upload bytes, zero reconstruction gathers on device) —
+        # the direct-attach configuration and the A/B twin of symbol mode
+        sym_plans = (None if os.environ.get("NVT_NO_SYMBOLS")
+                     else getattr(members[0].native, "sym_plans", None))
         self._sym = sym_plans is not None
         sym_plan_of = {}
         if self._sym:

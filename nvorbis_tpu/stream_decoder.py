@@ -198,9 +198,10 @@ class StreamDecoder:
             return _OraclePipeline(self)
         if engine == "host":
             # the host engine never touches jax (engine/host.py contract);
-            # setups without a native plane (Floor0 / NVT_NO_NATIVE)
-            # degrade to the oracle pipeline — equally jax-free, slower
-            # (the documented Floor0 slow lane, PERFORMANCE.md)
+            # setups without a native plane (NVT_NO_NATIVE, no toolchain)
+            # degrade to the oracle pipeline — equally jax-free, slower.
+            # Floor0 setups ride the native spectrum lane since round 5
+            # (native/host_decode.cpp floor0_unpack/floor0_apply)
             try:
                 from nvorbis_tpu.engine.batcher import HostPipeline
 
