@@ -248,47 +248,62 @@ def plan_window(planner, start, valid, total, gran, has_gran, eos, blocks):
     samples = vs.copy()
     samples[0] = samples0
 
+    # granule-pickup index: in the sequential path a pickup at packet k
+    # adjusts stream_pos0 BEFORE the final packet's trim when k < n-1; at
+    # k == n-1 the trim runs first (pre-pickup, the reference's order —
+    # StreamDecoder.cs:358-363 vs 428-437)
+    pk = None
+    if not planner.has_position:
+        idx = np.flatnonzero(has_gran)
+        if len(idx):
+            pk = int(idx[0])
+
     # end-trim at the final packet (granule + eos), pre-pickup position
     trim_valid = int(valid[n - 1])
     if eos[n - 1] and has_gran[n - 1]:
-        actual_end = planner.stream_pos0 + int(A[n - 1]) + int(samples[n - 1])
+        if planner.has_position or pk == n - 1 or pk is None:
+            # position known, or the trim packet IS the pickup packet
+            # (trim uses the pre-pickup default — single-window small
+            # files land here; falling back to the sequential loop for
+            # them cost ~25 python add() calls per 1test decode)
+            pos0_eff = planner.stream_pos0
+        else:
+            pos0_eff = int(gran[pk]) - int(samples[pk]) - int(A[pk])
+        actual_end = pos0_eff + int(A[n - 1]) + int(samples[n - 1])
         diff = int(gran[n - 1]) - actual_end
         if diff < 0:
-            # the trim must not also be the pickup packet pre-pickup: when
-            # position is still unknown the sequential path trims against
-            # the default position — replicate by falling back
-            if not planner.has_position:
-                return None
             # the no-op-clamp precondition above used the PRE-trim span;
             # if the trimmed final span is now shorter than the previous
-            # frame's lapped tail, the sequential path would clamp that
-            # tail (add(): prev_plan.total <- fit the post-trim room) —
-            # fall back so it does (OLA otherwise gets a secondary
-            # overlap longer than the final segment; found by review,
-            # reproduced as a numpy-lane broadcast crash on any
-            # multi-chunk stream whose final granule trim bites)
+            # frame's lapped tail, the sequential path clamps that tail
+            # (add(): prev_plan.total <- fit the post-trim room; OLA
+            # otherwise gets a secondary overlap longer than the final
+            # segment).  When the previous frame is INSIDE this window
+            # the clamp is just total[n-2] — done in-array (single-window
+            # small files end here every decode); only a previous-window
+            # boxed plan (n == 1) still needs the sequential path's
+            # in-place object mutation
             trimmed_vs = int(vs[n - 1]) + diff
             room_t = max(0, min(int(blocks[n - 1] - start[n - 1]),
                                 trimmed_vs))
-            p_tot = int(total[n - 2]) if n > 1 else (
-                p_total0 if p_total0 is not None else None)
-            p_val = int(valid[n - 2]) if n > 1 else p_valid0
-            if p_tot is not None and p_tot > p_val + room_t:
+            if n > 1:
+                if int(total[n - 2]) > int(valid[n - 2]) + room_t:
+                    total = total.copy()
+                    total[n - 2] = int(valid[n - 2]) + room_t
+            elif p_total0 is not None and p_total0 > p_valid0 + room_t:
                 return None
             trim_valid += diff
             samples[n - 1] += diff
             valid = valid.copy()
             valid[n - 1] = trim_valid
 
-    # granule position pickup at the first granule-bearing packet
-    if not planner.has_position:
-        idx = np.flatnonzero(has_gran)
-        if len(idx):
-            k = int(idx[0])
-            planner.has_position = True
-            planner.stream_pos0 = (
-                int(gran[k]) - int(samples[k]) - int(A[k])
-            )
+    # granule position pickup at the first granule-bearing packet (pk
+    # computed above; at pk == n-1 this reads the POST-trim samples, the
+    # sequential order)
+    if pk is not None:
+        planner.has_position = True
+        planner.stream_pos0 = (
+            int(gran[pk]) - int(samples[pk]) - int(A[pk])
+        )
 
     planner.prev = (int(A[n - 1]), int(start[n - 1]), int(valid[n - 1]),
                     int(total[n - 1]))
