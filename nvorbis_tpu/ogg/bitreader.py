@@ -97,6 +97,17 @@ class BitReader:
 
     def read_bytes(self, count: int) -> bytes:
         """Read ``count`` whole bytes (bit-aligned or not)."""
+        if count > 0 and (self._pos & 7) == 0:
+            # byte-aligned fast path: one slice instead of a per-byte
+            # peek/skip loop (comment-header strings are byte-aligned and
+            # dominated small-file open profiles)
+            b0 = self._pos >> 3
+            avail = (self._nbits >> 3) - b0
+            take = count if count <= avail else avail
+            self._pos += take * 8
+            if take < count:
+                self.is_short = True
+            return bytes(self.data[b0 : b0 + take])
         out = bytearray(count)
         got = 0
         for i in range(count):

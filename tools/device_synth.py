@@ -133,6 +133,47 @@ def main():
             perturb_int.append(pos + 1)        # ys
             pos += 10
 
+    # NVT_SYNTH_STAGE dissects the program (diagnostic; mirrors
+    # _batch_program's body structurally):
+    #   recon — symbol->spectrum reconstruction only
+    #   synth — + floor render/coupling/IMDCT/window (no OLA)
+    #   full  — the production program (default)
+    STAGE = os.environ.get("NVT_SYNTH_STAGE", "full")
+    if STAGE != "full":
+        import jax.numpy as _jnp
+
+        from nvorbis_tpu.synth.device import synth_spectra
+        from nvorbis_tpu.synth.residue_sym import reconstruct_spectrum
+
+        C = cfg[0]
+
+        def fn(*flat):  # noqa: F811 — diagnostic stand-in for the program
+            i2 = 0
+            acc2 = _jnp.float32(0.0)
+            for b in cfg[3]:
+                if b[0] == "s":
+                    (classes, ids_flat, frame_base, ys2, used2, hf2, widx2,
+                     tid2, xs_t, win_t, basis, sl_t,
+                     g_t, d_t, vb_t, dm_t, mg_t) = flat[i2:i2 + 17]
+                    i2 += 17
+                    residue = reconstruct_spectrum(
+                        classes.astype(_jnp.int32), ids_flat, frame_base,
+                        (g_t, d_t, vb_t, dm_t, mg_t), b[7], C)
+                else:
+                    (residue, ys2, used2, hf2, widx2, tid2, xs_t, win_t,
+                     basis, sl_t) = flat[i2:i2 + 10]
+                    i2 += 10
+                if STAGE == "recon":
+                    acc2 = acc2 + _jnp.sum(residue)
+                    continue
+                xs2 = _jnp.take(xs_t, tid2, axis=0)
+                sl2 = _jnp.take(sl_t, tid2, axis=0)
+                pcm = synth_spectra(residue, ys2, used2, hf2, xs2, basis,
+                                    b[6], sl=sl2)
+                win = win_t[tid2, widx2]
+                acc2 = acc2 + _jnp.sum(pcm * win[:, None, :])
+            return acc2.reshape(1, 1)  # fn's consumers index [0, 0]
+
     def looped(k, *a):
         def body(i, acc):
             # chain through acc: value == i%2 (acc is never NaN) but the
