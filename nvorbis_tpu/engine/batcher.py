@@ -82,10 +82,14 @@ class JaxPipeline:
         # of x realtime (tools/host_ceiling.py).  Bulk decode (read_all /
         # BatchDecoder) still uses the device, through the respawnable
         # worker (engine/device_worker.py).
-        from nvorbis_tpu.engine.device_worker import worker_mode_enabled
+        from nvorbis_tpu.utils.relay import relay_configured
 
+        # keyed on the RELAY, not worker mode: a forced worker
+        # (NVT_FETCH_WORKER=1) on direct-attached hardware must still
+        # stream through the device plane — only the tunnel relay's
+        # per-window round trips are the wedge trigger (VERDICT r4 #9)
         self._host_only = (
-            self._native is not None and worker_mode_enabled()
+            self._native is not None and relay_configured()
         )
 
     def reset(self):

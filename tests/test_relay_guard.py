@@ -238,3 +238,34 @@ def test_fetch_np_sliced_path(monkeypatch):
     back = fetch.fetch_pcm(jax.device_put(q), quantized=True)
     assert back.dtype == np.float32
     assert np.abs(back - np.clip(host, -1, 1)).max() < 4e-5
+
+
+def test_streaming_host_only_keyed_on_relay(fixture_dir, monkeypatch):
+    """JaxPipeline pins streaming reads host-only ONLY when the tunnel
+    relay is the device transport (its per-window round trips wedge
+    sessions).  A forced worker (NVT_FETCH_WORKER=1) on direct-attached
+    hardware — no relay plugin configured — must keep the device
+    streaming path (VERDICT r4 #9)."""
+    from nvorbis_tpu.engine.batcher import JaxPipeline
+
+    # direct-attach: plugin absent, worker forced -> device streaming
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("NVT_FETCH_WORKER", "1")
+    r = nv.VorbisReader(str(fixture_dir / "3test.ogg"), engine="jax")
+    pipe = r._stream_decoder._pipeline
+    assert isinstance(pipe, JaxPipeline)
+    assert not pipe._host_only
+    r.dispose()
+
+    # tunnel relay answering -> streaming stays host-only (patch the
+    # policy fn: this process's jax is pinned to cpu, so the real
+    # relay_configured correctly reports False here)
+    import nvorbis_tpu.utils.relay as relay_mod
+
+    monkeypatch.setattr(relay_mod, "relay_configured", lambda: True)
+    monkeypatch.delenv("NVT_FETCH_WORKER", raising=False)
+    r = nv.VorbisReader(str(fixture_dir / "3test.ogg"), engine="jax")
+    pipe = r._stream_decoder._pipeline
+    assert isinstance(pipe, JaxPipeline)
+    assert pipe._host_only
+    r.dispose()
