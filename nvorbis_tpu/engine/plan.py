@@ -253,10 +253,17 @@ def plan_window(planner, start, valid, total, gran, has_gran, eos, blocks):
     # k == n-1 the trim runs first (pre-pickup, the reference's order —
     # StreamDecoder.cs:358-363 vs 428-437)
     pk = None
+    pk_buffered = 0
     if not planner.has_position:
         idx = np.flatnonzero(has_gran)
         if len(idx):
             pk = int(idx[0])
+            # buffered count the sequential add() reads at pickup time
+            # (self.emitted BEFORE the packet): A[pk] for pk >= 1, but the
+            # window-entry emitted for pk == 0 — on a fresh stream
+            # emitted is 0 while A[0] is -vs[0] (the lead-in), and using
+            # A[0] over-trims the EOS by exactly vs[0]
+            pk_buffered = int(A[pk]) if pk else planner.emitted
 
     # end-trim at the final packet (granule + eos), pre-pickup position
     trim_valid = int(valid[n - 1])
@@ -268,7 +275,7 @@ def plan_window(planner, start, valid, total, gran, has_gran, eos, blocks):
             # them cost ~25 python add() calls per 1test decode)
             pos0_eff = planner.stream_pos0
         else:
-            pos0_eff = int(gran[pk]) - int(samples[pk]) - int(A[pk])
+            pos0_eff = int(gran[pk]) - int(samples[pk]) - pk_buffered
         actual_end = pos0_eff + int(A[n - 1]) + int(samples[n - 1])
         diff = int(gran[n - 1]) - actual_end
         if diff < 0:
@@ -302,7 +309,7 @@ def plan_window(planner, start, valid, total, gran, has_gran, eos, blocks):
     if pk is not None:
         planner.has_position = True
         planner.stream_pos0 = (
-            int(gran[pk]) - int(samples[pk]) - int(A[pk])
+            int(gran[pk]) - int(samples[pk]) - pk_buffered
         )
 
     planner.prev = (int(A[n - 1]), int(start[n - 1]), int(valid[n - 1]),

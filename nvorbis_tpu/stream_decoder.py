@@ -355,7 +355,12 @@ class StreamDecoder:
             return None
         from nvorbis_tpu.engine.batcher import HostPipeline
 
-        if isinstance(self._pipeline, HostPipeline):
+        if isinstance(self._pipeline, HostPipeline) or getattr(
+            native, "spec_only", False
+        ):
+            # spec-only natives (Floor0) ride the host spectrum lane in
+            # EVERY engine: the dense/symbol device forms cannot express
+            # an LSP floor, and the C++ entry points guard (zero frames)
             # host engine: C++ unpack + numpy synthesis + host overlap-add,
             # no jax anywhere (engine/host.py)
             from nvorbis_tpu.engine.host import HostBulkDecoder
