@@ -76,7 +76,7 @@ def _batch_program(cfg, mesh_key=None):
 
     from nvorbis_tpu.synth.device import synth_spectra
 
-    C, L_pad, S_pad, buckets, clip, i16 = cfg
+    C, L_pad, S_pad, buckets, clip, i16, ola_scan = cfg
     n_max = max(b[2] for b in buckets)
 
     def fn(*flat):
@@ -118,12 +118,38 @@ def _batch_program(cfg, mesh_key=None):
         rows = jnp.concatenate(all_rows, axis=0).reshape(-1, C)
         nrows = rows.shape[0]
         p = jax.lax.broadcasted_iota(jnp.int32, (L_pad,), 0)
-        f = jnp.clip(jnp.searchsorted(segE, p, side="right") - 1, 0, S_pad - 1)
-        t = p - jnp.take(segE, f)
-        i1 = jnp.clip(jnp.take(prim, f) + t, 0, nrows - 1)
+        if ola_scan:
+            # scatter+cumsum index chain: i1/i2 are piecewise slope-1 in p
+            # (i1[p] = prim[k] + p - segE[k] within segment k), so the
+            # per-sample offsets come from one S_pad-sized scatter of
+            # per-segment jumps + one parallel prefix sum — replacing the
+            # log2(S_pad) binary-search gather rounds and three
+            # segment-table takes with 2.2M-index operands (measured
+            # on-chip: the OLA epilogue was 45% of the whole chunk
+            # program).  Padding segments' starts are >= L_pad+1, so their
+            # scatters drop (XLA default OOB-drop) and the last real
+            # segment's offsets carry through the unfetched tail, exactly
+            # like the searchsorted form's clipped f.
+            s0 = segE[:S_pad]
+            o1 = prim - s0
+            o2 = sec - s0
+            d1 = jnp.zeros((L_pad,), jnp.int32).at[s0].add(
+                jnp.concatenate([o1[:1], o1[1:] - o1[:-1]]))
+            i1 = jnp.clip(p + jnp.cumsum(d1), 0, nrows - 1)
+            d2 = jnp.zeros((L_pad,), jnp.int32).at[s0].add(
+                jnp.concatenate([o2[:1], o2[1:] - o2[:-1]]))
+            i2 = jnp.clip(p + jnp.cumsum(d2), 0, nrows - 1)
+            lv = jnp.zeros((L_pad,), jnp.int32).at[s0].add(1).at[
+                s0 + sec_len].add(-1)
+            live2 = jnp.cumsum(lv) > 0
+        else:
+            f = jnp.clip(jnp.searchsorted(segE, p, side="right") - 1,
+                         0, S_pad - 1)
+            t = p - jnp.take(segE, f)
+            i1 = jnp.clip(jnp.take(prim, f) + t, 0, nrows - 1)
+            live2 = t < jnp.take(sec_len, f)
+            i2 = jnp.clip(jnp.take(sec, f) + t, 0, nrows - 1)
         a = jnp.take(rows, i1, axis=0)
-        live2 = t < jnp.take(sec_len, f)
-        i2 = jnp.clip(jnp.take(sec, f) + t, 0, nrows - 1)
         b = jnp.where(live2[:, None], jnp.take(rows, i2, axis=0), 0.0)
         out = a + b
         if clip:
@@ -1071,7 +1097,11 @@ class BatchDecoder:
         args.extend([W_(segE), W_(prim), W_(sec), W_(sec_len)])
 
         i16 = int16_transport_enabled()
-        cfg = (C, L_pad, S_pad, tuple(cfg_buckets), self.clip_samples, i16)
+        # ola_scan: scatter+cumsum OLA index chain (NVT_NO_OLA_SCAN keeps
+        # the searchsorted form as the A/B twin; part of the cfg so a
+        # flip recompiles)
+        cfg = (C, L_pad, S_pad, tuple(cfg_buckets), self.clip_samples, i16,
+               not os.environ.get("NVT_NO_OLA_SCAN"))
         L_fetch = min(L_pad, _round_up(L_real, L_QUANTUM))
 
         if self._worker is not None:

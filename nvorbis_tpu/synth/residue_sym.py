@@ -53,8 +53,14 @@ class ResiduePlan:
 
         psize, S, n_cls = self.psize, self.S, self.n_cls
         groups = np.zeros((256, S), dtype=np.int32)
+        # per-(cls, stage, w) packed tables — ONE gather each on device
+        # instead of the original (div, vq_base, dims) triple (each big
+        # gather over [B, CHR, coded] indices measured ~35% of the whole
+        # on-chip chunk program; see NOTES round 5):
+        #   div_np:     (slot_group << 16) | dims   (-1 = dead element)
+        #   vq_base_np: vq_base + element_offset    (addr = base + id*dims)
         div = np.full((n_cls, S, psize), -1, dtype=np.int32)
-        vq_base = np.full((n_cls, S), -1, dtype=np.int32)
+        base_t = np.zeros((n_cls, S, psize), dtype=np.int32)
         dims_t = np.zeros((n_cls, S), dtype=np.int32)
         mega = []
         mega_off = {}
@@ -71,7 +77,7 @@ class ResiduePlan:
                     mega.append(
                         np.asarray(book.lookup, dtype=np.float32).ravel()
                     )
-                vq_base[cls, s] = mega_off[id(book)]
+                vb = mega_off[id(book)]
                 dims_t[cls, s] = d
                 w = np.arange(psize)
                 if self.residue_type == 0:
@@ -81,13 +87,15 @@ class ResiduePlan:
                         valid = w < steps * d
                         g = w % steps
                         e = w // steps
-                        div[cls, s] = np.where(valid, (g << 16) | e, -1)
+                        div[cls, s] = np.where(valid, (g << 16) | d, -1)
+                        base_t[cls, s] = np.where(valid, vb + e, 0)
                 else:
                     groups[cls, s] = -(-psize // d)
-                    div[cls, s] = ((w // d) << 16) | (w % d)
+                    div[cls, s] = ((w // d) << 16) | d
+                    base_t[cls, s] = vb + (w % d)
         self.groups_np = groups
         self.div_np = div
-        self.vq_base_np = vq_base
+        self.vq_base_np = base_t
         self.dims_np = dims_t
         self.vq_mega_np = (
             np.concatenate(mega) if mega else np.zeros(1, dtype=np.float32)
@@ -130,6 +138,10 @@ def plan_for_setup(setup):
                     return None
                 if res.residue_type != 0 and res.partition_size % book.dimensions:
                     return None
+                if book.dimensions > 65535:
+                    return None  # packed (group << 16) | dims table
+        if res.partition_size > 32767:
+            return None  # slot group must fit the packed table's high half
         plans[id(res)] = ResiduePlan(res, setup.channels)
     return plans
 
@@ -226,29 +238,33 @@ def reconstruct_spectrum(classes, ids_flat, frame_base, tabs, st, channels):
         prefix = jnp.cumsum(counts_c, axis=1) - counts_c  # exclusive
         prefix = prefix.reshape(B, S, CHR, n_part)
 
-        part_idx = np.arange(coded, dtype=np.int32) // psize  # static
-        w_idx = np.arange(coded, dtype=np.int32) % psize
-        cls = jnp.take(classes, jnp.asarray(part_idx), axis=2)  # [B,CHR,coded]
+        w_idx = jnp.asarray(np.arange(coded, dtype=np.int32) % psize)
+        # part_idx is a uniform repeat: broadcast+reshape, NOT a gather
+        # (each big gather over [B, CHR, coded] indices was measured at
+        # 35-45 ms on-chip; the whole point of this layout is gather count)
+        cls = jnp.broadcast_to(
+            classes[:, :, :, None], (B, CHR, n_part, psize)
+        ).reshape(B, CHR, coded)
         is_cls = cls < n_cls
         cls_safe = jnp.where(is_cls, cls, 0)
 
         acc = jnp.zeros((B, CHR, coded), dtype=jnp.float32)
         for s in range(S):
-            pe = jnp.take(
-                div_t, (cls_safe * S + s) * psize + jnp.asarray(w_idx)
-            )
+            idxw = (cls_safe * S + s) * psize + w_idx
+            pe = jnp.take(div_t, idxw)  # (slot_group << 16) | dims
             live = is_cls & (pe >= 0)
             g = pe >> 16
-            e = pe & 0xFFFF
-            sb = jnp.take(prefix[:, s], jnp.asarray(part_idx), axis=2)
+            dm = pe & 0xFFFF
+            sb = jnp.broadcast_to(
+                prefix[:, s][:, :, :, None], (B, CHR, n_part, psize)
+            ).reshape(B, CHR, coded)
             slot = frame_base[:, None, None] + sb + g
             idv = jnp.take(ids_flat, jnp.clip(slot, 0, n_ids - 1)).astype(
                 jnp.int32
             )
             live = live & (idv >= 0)
-            vb = jnp.take(vqb_t, cls_safe * S + s)
-            dm = jnp.take(dims_t, cls_safe * S + s)
-            addr = vb + idv * dm + e
+            base = jnp.take(vqb_t, idxw)  # vq_base + element_offset
+            addr = base + idv * dm
             val = jnp.take(mega_t, jnp.clip(addr, 0, mega_n - 1))
             acc = acc + jnp.where(live, val, jnp.float32(0.0))
 

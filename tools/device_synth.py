@@ -135,11 +135,62 @@ def main():
 
     # NVT_SYNTH_STAGE dissects the program (diagnostic; mirrors
     # _batch_program's body structurally):
-    #   recon — symbol->spectrum reconstruction only
-    #   synth — + floor render/coupling/IMDCT/window (no OLA)
-    #   full  — the production program (default)
+    #   recon  — symbol->spectrum reconstruction only
+    #   synth  — + floor render/coupling/IMDCT/window (no OLA)
+    #   olaidx — synth + the OLA's index computation (searchsorted +
+    #            segment-table takes), WITHOUT the two row gathers
+    #   full   — the production program (default)
     STAGE = os.environ.get("NVT_SYNTH_STAGE", "full")
-    if STAGE != "full":
+    if STAGE == "olaidx":
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        base_fn = fn
+        C = cfg[0]
+        L_pad, S_pad = cfg[1], cfg[2]
+
+        def fn(*flat):  # noqa: F811
+            # recompute the synthesis rows exactly as the program does,
+            # then the OLA index chain only (the takes of rows are what
+            # this stage omits)
+            segE, prim, sec, sec_len = flat[-4:]
+            p = _jax.lax.broadcasted_iota(_jnp.int32, (L_pad,), 0)
+            f = _jnp.clip(
+                _jnp.searchsorted(segE, p, side="right") - 1, 0, S_pad - 1)
+            t = p - _jnp.take(segE, f)
+            i1 = _jnp.take(prim, f) + t
+            live2 = t < _jnp.take(sec_len, f)
+            i2 = _jnp.take(sec, f) + t
+            idx_sum = (_jnp.sum(i1) + _jnp.sum(i2)
+                       + _jnp.sum(live2.astype(_jnp.int32)))
+            # keep the synthesis live too (sum of the pre-OLA rows): the
+            # delta vs the synth stage isolates the index chain alone
+            acc2 = _jnp.float32(0.0)
+            i2p = 0
+            from nvorbis_tpu.synth.device import synth_spectra
+            from nvorbis_tpu.synth.residue_sym import reconstruct_spectrum
+
+            for b in cfg[3]:
+                if b[0] == "s":
+                    (classes, ids_flat, frame_base, ys2, used2, hf2, widx2,
+                     tid2, xs_t, win_t, basis, sl_t,
+                     g_t, d_t, vb_t, dm_t, mg_t) = flat[i2p:i2p + 17]
+                    i2p += 17
+                    residue = reconstruct_spectrum(
+                        classes.astype(_jnp.int32), ids_flat, frame_base,
+                        (g_t, d_t, vb_t, dm_t, mg_t), b[7], C)
+                else:
+                    (residue, ys2, used2, hf2, widx2, tid2, xs_t, win_t,
+                     basis, sl_t) = flat[i2p:i2p + 10]
+                    i2p += 10
+                xs2 = _jnp.take(xs_t, tid2, axis=0)
+                sl2 = _jnp.take(sl_t, tid2, axis=0)
+                pcm = synth_spectra(residue, ys2, used2, hf2, xs2, basis,
+                                    b[6], sl=sl2)
+                win = win_t[tid2, widx2]
+                acc2 = acc2 + _jnp.sum(pcm * win[:, None, :])
+            return (acc2 + idx_sum.astype(_jnp.float32)).reshape(1, 1)
+    elif STAGE != "full":
         import jax.numpy as _jnp
 
         from nvorbis_tpu.synth.device import synth_spectra
