@@ -85,13 +85,13 @@ def _bulk_program(cfg):
                 _, B, n, coupling, st, _npad = b
                 (classes, ids_flat, frame_base, ys, used, has_floor,
                  window_index, xs, windows, basis, sl,
-                 g_t, d_t, vb_t, dm_t, mg_t) = flat[i : i + 16]
-                i += 16
+                 g_t, pr_t, mg_t) = flat[i : i + 14]
+                i += 14
                 # classes travel as uint8 (4x fewer upload bytes through a
                 # bandwidth-capped link); widen on device
                 residue = reconstruct_spectrum(
                     classes.astype(jnp.int32), ids_flat, frame_base,
-                    (g_t, d_t, vb_t, dm_t, mg_t), st, C,
+                    (g_t, pr_t, mg_t), st, C,
                 )
             else:
                 _, B, n, coupling = b
@@ -164,9 +164,7 @@ class BulkDecoder:
                 self._worker = get_worker()
             arrs = [synth._xs, synth._windows, synth._basis, synth._sl]
             if plan is not None:
-                arrs += [plan.groups_np, plan.div_np.reshape(-1),
-                         plan.vq_base_np.reshape(-1),
-                         plan.dims_np.reshape(-1), plan.vq_mega_np]
+                arrs += [plan.groups_np, plan.pair_np, plan.vq_mega_np]
             tkey = next_table_key()
             self._worker.register_tables(tkey, arrs)
             refs = [("t", tkey, i) for i in range(len(arrs))]

@@ -69,7 +69,8 @@ def _batch_program(cfg, mesh_key=None):
     has_floor [B,C], widx [B], tid [B], xs_t [T,C,P], win_t [T,W,n],
     basis [n2,n], sl_t [T,C,n2]; symbol buckets replace residue with
     classes [B,CHR,n_part], ids_flat [N_pad], frame_base [B] and append the
-    five plan tables; then segE [S_pad+1], prim, sec, sec_len.
+    three plan tables (groups, pair, mega — synth/residue_sym.py);
+    then segE [S_pad+1], prim, sec, sec_len.
     """
     import jax
     import jax.numpy as jnp
@@ -89,13 +90,13 @@ def _batch_program(cfg, mesh_key=None):
                 _, B, n, P, W, T, coupling, st, _npad = b
                 (classes, ids_flat, frame_base, ys, used, has_floor, widx,
                  tid, xs_t, win_t, basis, sl_t,
-                 g_t, d_t, vb_t, dm_t, mg_t) = flat[i : i + 17]
-                i += 17
+                 g_t, pr_t, mg_t) = flat[i : i + 15]
+                i += 15
                 # classes travel as uint8 (4x fewer upload bytes through a
                 # bandwidth-capped link); widen on device
                 residue = reconstruct_spectrum(
                     classes.astype(jnp.int32), ids_flat, frame_base,
-                    (g_t, d_t, vb_t, dm_t, mg_t), st, C,
+                    (g_t, pr_t, mg_t), st, C,
                 )
             else:
                 _, B, n, P, W, T, coupling = b
@@ -179,7 +180,7 @@ def _batch_program(cfg, mesh_key=None):
             # classes/base/per-frame tensors shard by frame; the flat id
             # stream and the static tables replicate
             in_sh += [frame, repl, frame, frame, frame, frame, frame, frame,
-                      repl, repl, repl, repl, repl, repl, repl, repl, repl]
+                      repl, repl, repl, repl, repl, repl, repl]
         else:
             in_sh += [frame, frame, frame, frame, frame, frame,
                       repl, repl, repl, repl]
@@ -356,8 +357,7 @@ class BatchDecoder:
             h = hashlib.md5()
             for m in setup.modes:
                 plan = plans[id(setup.residues[m.mapping.submap_residue[0]])]
-                for arr in (plan.groups_np, plan.div_np, plan.vq_base_np,
-                            plan.dims_np, plan.vq_mega_np):
+                for arr in (plan.groups_np, plan.pair_np, plan.vq_mega_np):
                     h.update(arr.tobytes())
                 h.update(bytes([plan.residue_type]))
                 h.update(plan.begin.to_bytes(4, "little"))
@@ -575,9 +575,7 @@ class BatchDecoder:
                 if self._sym:
                     p = sym_plan_of[n]
                     for i, arr in enumerate((
-                        p.groups_np, p.div_np.reshape(-1),
-                        p.vq_base_np.reshape(-1), p.dims_np.reshape(-1),
-                        p.vq_mega_np,
+                        p.groups_np, p.pair_np, p.vq_mega_np,
                     )):
                         _reg((n, "tab", i), arr)
             self._worker.register_tables(tkey, tbl)
@@ -588,7 +586,7 @@ class BatchDecoder:
             for n, p in sym_plan_of.items():
                 self._sym_info[n] = (
                     plan_static(p, n),
-                    tuple(ref[(n, "tab", i)] for i in range(5)),
+                    tuple(ref[(n, "tab", i)] for i in range(3)),
                 )
             self._wrap = lambda a: ("a", np.asarray(a))
         else:

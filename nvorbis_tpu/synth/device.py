@@ -261,7 +261,7 @@ def synth_core(residue, ys, used, has_floor, window_index, xs, windows, basis,
 @functools.partial(jax.jit, static_argnames=("coupling", "st"))
 def _synth_program_sym(
     classes, ids_flat, frame_base, ys, used, has_floor, window_index,
-    xs, windows, basis, sl, g_t, d_t, vb_t, dm_t, mg_t, *, coupling, st,
+    xs, windows, basis, sl, g_t, pr_t, mg_t, *, coupling, st,
 ):
     """Jitted symbol-mode synthesis: residues arrive as classes + canonical
     VQ entry ids and are rebuilt on device (synth/residue_sym.py) before the
@@ -269,7 +269,7 @@ def _synth_program_sym(
     from nvorbis_tpu.synth.residue_sym import reconstruct_spectrum
 
     residue = reconstruct_spectrum(
-        classes, ids_flat, frame_base, (g_t, d_t, vb_t, dm_t, mg_t), st,
+        classes, ids_flat, frame_base, (g_t, pr_t, mg_t), st,
         ys.shape[1],
     )
     return synth_core(

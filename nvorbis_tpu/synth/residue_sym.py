@@ -38,8 +38,7 @@ class ResiduePlan:
 
     __slots__ = (
         "residue_type", "begin", "end", "psize", "S", "n_cls", "channels",
-        "groups_np", "div_np", "vq_base_np", "dims_np", "vq_mega_np",
-        "_tabs_dev",
+        "groups_np", "pair_np", "vq_mega_np", "_tabs_dev",
     )
 
     def __init__(self, residue, channels):
@@ -53,15 +52,15 @@ class ResiduePlan:
 
         psize, S, n_cls = self.psize, self.S, self.n_cls
         groups = np.zeros((256, S), dtype=np.int32)
-        # per-(cls, stage, w) packed tables — ONE gather each on device
-        # instead of the original (div, vq_base, dims) triple (each big
-        # gather over [B, CHR, coded] indices measured ~35% of the whole
-        # on-chip chunk program; see NOTES round 5):
-        #   div_np:     (slot_group << 16) | dims   (-1 = dead element)
-        #   vq_base_np: vq_base + element_offset    (addr = base + id*dims)
+        # per-(cls, stage) ROW table, gathered once per PARTITION on device
+        # (index count B*CHR*n_part, psize x fewer than element gathers —
+        # the element-wise (div, vq_base, dims) triple's three big gathers
+        # measured ~35% of the whole on-chip chunk program each; see NOTES
+        # round 5).  pair_np[cls*S+s, w] packs the two per-element words:
+        #   [..., 0]: (slot_group << 16) | dims   (-1 = dead element)
+        #   [..., 1]: vq_base + element_offset    (addr = base + id*dims)
         div = np.full((n_cls, S, psize), -1, dtype=np.int32)
         base_t = np.zeros((n_cls, S, psize), dtype=np.int32)
-        dims_t = np.zeros((n_cls, S), dtype=np.int32)
         mega = []
         mega_off = {}
 
@@ -78,7 +77,6 @@ class ResiduePlan:
                         np.asarray(book.lookup, dtype=np.float32).ravel()
                     )
                 vb = mega_off[id(book)]
-                dims_t[cls, s] = d
                 w = np.arange(psize)
                 if self.residue_type == 0:
                     steps = psize // d
@@ -94,9 +92,9 @@ class ResiduePlan:
                     div[cls, s] = ((w // d) << 16) | d
                     base_t[cls, s] = vb + (w % d)
         self.groups_np = groups
-        self.div_np = div
-        self.vq_base_np = base_t
-        self.dims_np = dims_t
+        self.pair_np = np.stack([div, base_t], axis=-1).reshape(
+            n_cls * S, psize, 2
+        )
         self.vq_mega_np = (
             np.concatenate(mega) if mega else np.zeros(1, dtype=np.float32)
         )
@@ -168,9 +166,7 @@ def plan_tables_dev(plan):
 
     tabs = (
         jnp.asarray(plan.groups_np),
-        jnp.asarray(plan.div_np.reshape(-1)),
-        jnp.asarray(plan.vq_base_np.reshape(-1)),
-        jnp.asarray(plan.dims_np.reshape(-1)),
+        jnp.asarray(plan.pair_np),
         jnp.asarray(plan.vq_mega_np),
     )
     plan._tabs_dev = tabs
@@ -223,7 +219,7 @@ def reconstruct_spectrum(classes, ids_flat, frame_base, tabs, st, channels):
     import jax.numpy as jnp
 
     begin, psize, n_part, CHR, S, n_cls, half, rtype = st  # SymStatic
-    groups_t, div_t, vqb_t, dims_t, mega_t = tabs
+    groups_t, pair_t, mega_t = tabs
     B = classes.shape[0]
     n_ids = ids_flat.shape[0]
     mega_n = mega_t.shape[0]
@@ -238,21 +234,23 @@ def reconstruct_spectrum(classes, ids_flat, frame_base, tabs, st, channels):
         prefix = jnp.cumsum(counts_c, axis=1) - counts_c  # exclusive
         prefix = prefix.reshape(B, S, CHR, n_part)
 
-        w_idx = jnp.asarray(np.arange(coded, dtype=np.int32) % psize)
-        # part_idx is a uniform repeat: broadcast+reshape, NOT a gather
-        # (each big gather over [B, CHR, coded] indices was measured at
-        # 35-45 ms on-chip; the whole point of this layout is gather count)
-        cls = jnp.broadcast_to(
-            classes[:, :, :, None], (B, CHR, n_part, psize)
+        # gather count is THE cost on chip (each element-wise gather over
+        # [B, CHR, coded] indices measured 35-45 ms; NOTES round 5): the
+        # static per-(cls, stage) words ride ONE row gather indexed per
+        # PARTITION (psize x fewer indices), leaving only the two
+        # data-dependent element gathers (ids, mega) per stage
+        is_cls_p = classes < n_cls  # [B, CHR, n_part]
+        cls_safe_p = jnp.where(is_cls_p, classes, 0)
+        live_p = jnp.broadcast_to(
+            is_cls_p[:, :, :, None], (B, CHR, n_part, psize)
         ).reshape(B, CHR, coded)
-        is_cls = cls < n_cls
-        cls_safe = jnp.where(is_cls, cls, 0)
 
         acc = jnp.zeros((B, CHR, coded), dtype=jnp.float32)
         for s in range(S):
-            idxw = (cls_safe * S + s) * psize + w_idx
-            pe = jnp.take(div_t, idxw)  # (slot_group << 16) | dims
-            live = is_cls & (pe >= 0)
+            rows = jnp.take(pair_t, cls_safe_p * S + s, axis=0)
+            pe = rows[..., 0].reshape(B, CHR, coded)  # (group<<16)|dims
+            base = rows[..., 1].reshape(B, CHR, coded)  # vq_base + elem_off
+            live = live_p & (pe >= 0)
             g = pe >> 16
             dm = pe & 0xFFFF
             sb = jnp.broadcast_to(
@@ -263,7 +261,6 @@ def reconstruct_spectrum(classes, ids_flat, frame_base, tabs, st, channels):
                 jnp.int32
             )
             live = live & (idv >= 0)
-            base = jnp.take(vqb_t, idxw)  # vq_base + element_offset
             addr = base + idv * dm
             val = jnp.take(mega_t, jnp.clip(addr, 0, mega_n - 1))
             acc = acc + jnp.where(live, val, jnp.float32(0.0))

@@ -174,11 +174,11 @@ def main():
                 if b[0] == "s":
                     (classes, ids_flat, frame_base, ys2, used2, hf2, widx2,
                      tid2, xs_t, win_t, basis, sl_t,
-                     g_t, d_t, vb_t, dm_t, mg_t) = flat[i2p:i2p + 17]
-                    i2p += 17
+                     g_t, pr_t, mg_t) = flat[i2p:i2p + 15]
+                    i2p += 15
                     residue = reconstruct_spectrum(
                         classes.astype(_jnp.int32), ids_flat, frame_base,
-                        (g_t, d_t, vb_t, dm_t, mg_t), b[7], C)
+                        (g_t, pr_t, mg_t), b[7], C)
                 else:
                     (residue, ys2, used2, hf2, widx2, tid2, xs_t, win_t,
                      basis, sl_t) = flat[i2p:i2p + 10]
@@ -205,11 +205,11 @@ def main():
                 if b[0] == "s":
                     (classes, ids_flat, frame_base, ys2, used2, hf2, widx2,
                      tid2, xs_t, win_t, basis, sl_t,
-                     g_t, d_t, vb_t, dm_t, mg_t) = flat[i2:i2 + 17]
-                    i2 += 17
+                     g_t, pr_t, mg_t) = flat[i2:i2 + 15]
+                    i2 += 15
                     residue = reconstruct_spectrum(
                         classes.astype(_jnp.int32), ids_flat, frame_base,
-                        (g_t, d_t, vb_t, dm_t, mg_t), b[7], C)
+                        (g_t, pr_t, mg_t), b[7], C)
                 else:
                     (residue, ys2, used2, hf2, widx2, tid2, xs_t, win_t,
                      basis, sl_t) = flat[i2:i2 + 10]
