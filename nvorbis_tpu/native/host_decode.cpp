@@ -162,6 +162,11 @@ struct Residue {
                               // sym_groups(cls, stage) — recomputing it per
                               // partition was measurable in both the decode
                               // and finalize loops
+  int32_t wr_slack;           // max VQ dims over this residue's books: a
+                              // type-1/2 vector may overshoot `end` by up
+                              // to dims-1 (clamped at half), so the
+                              // guaranteed-zero tail starts at
+                              // min(end + wr_slack, half)
 };
 
 struct Mapping {
@@ -391,15 +396,19 @@ bool floor0_unpack(const Setup& s, const Floor0c& f, BitReader& br,
 // scale the residue row in place.  p/q chains run in float32 in the
 // oracle's exact op order; the 2cos(lsp) precompute is f64 -> f32 like the
 // oracle's.  Reference: NVorbis/Floor0.cs:152-212.
+// `xmax` clamps the curve evaluation + multiply (<= n2): bins at/after it
+// are known-zero residue (the caller's residue write bound), and 0 * curve
+// is 0 — skipping them is exact and skips the expensive p/q chain too.
 void floor0_apply(const Floor0c& f, const int32_t* bark, const float* wmap,
-                  int n2, float amp, const float* lsp, float* row) {
+                  int n2, float amp, const float* lsp, float* row,
+                  int xmax) {
   const int order = f.order;
   float cos2[256];  // order is an 8-bit field
   for (int j2 = 0; j2 < order; ++j2)
     cos2[j2] = (float)(2.0 * std::cos((double)lsp[j2]));
   const float amp_ofs = (float)f.amp_ofs;
   int i = 0;
-  while (i < n2) {
+  while (i < xmax) {
     const int k = bark[i];
     float p = 0.5f, q = 0.5f;
     const float w = wmap[k];
@@ -421,7 +430,7 @@ void floor0_apply(const Floor0c& f, const int32_t* bark, const float* wmap,
     row[i] *= v;
     for (;;) {
       ++i;
-      if (i >= n2 || bark[i] != k) break;
+      if (i >= xmax || bark[i] != k) break;
       row[i] *= v;
     }
   }
@@ -921,14 +930,18 @@ void unpack_one(const Setup& s, const uint8_t* bytes, int64_t nbytes,
 // the inverse-dB lookup and the spectrum multiply
 // (NVorbis/Mapping.cs:184-191).  Posts arrive in sorted-x order
 // (floor1_unpack applies sort_idx; ys are post-multiplier).
+// `xmax` clamps the STORES only (bins at/after xmax are known-zero residue
+// — the caller's residue write bound); segment geometry (the adx clip
+// quirk) still uses n2, so rendered values below xmax are bit-identical
+// to an unclamped render.  Pass xmax = n2 for the full multiply.
 void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
                  const uint8_t* used, int n2, float* row, bool use_div,
-                 bool use_inc) {
+                 bool use_inc, int xmax) {
   int p = f.post_count;
   const int32_t* xs = f.xs_sorted;
   int prev = -1;
   int x_cursor = 0;
-  for (int i = 0; i < p && x_cursor < n2; ++i) {
+  for (int i = 0; i < p && x_cursor < xmax; ++i) {
     if (!used[i]) continue;
     if (prev < 0) {
       prev = i;
@@ -943,11 +956,12 @@ void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
     int end = hx < n2 ? hx : n2;
     int64_t adx = (int64_t)end - lx;  // min(hx, n2) - lx: the clip quirk
     int x = lx > x_cursor ? lx : x_cursor;
+    const int send = end < xmax ? end : xmax;  // store bound
     if (adx > 0) {
       if (use_div) {
         // closed-form reference (NVT_FLOOR_DIV=1): one integer division
         // per bin, kept as the A/B twin of the incremental renderer
-        for (; x < end; ++x) {
+        for (; x < send; ++x) {
           int64_t off = (int64_t)(x - lx) * ady / adx;
           int64_t y = ly + (dy < 0 ? -off : off);
           y = y < 0 ? 0 : (y > 255 ? 255 : y);
@@ -973,20 +987,20 @@ void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
         const int64_t yend = ly + dy;  // exact endpoint (off(hx) = ady)
         if (ly >= 0 && ly <= 255 && yend >= 0 && yend <= 255) {
           if (dy < 0) {
-            for (; x < end; ++x) {
+            for (; x < send; ++x) {
               int64_t num = (int64_t)(x - lx) * ady;
               int64_t y = ly - ((num * m) >> 39);
               row[x] *= inv_db[y];
             }
           } else {
-            for (; x < end; ++x) {
+            for (; x < send; ++x) {
               int64_t num = (int64_t)(x - lx) * ady;
               int64_t y = ly + ((num * m) >> 39);
               row[x] *= inv_db[y];
             }
           }
         } else {
-          for (; x < end; ++x) {
+          for (; x < send; ++x) {
             int64_t num = (int64_t)(x - lx) * ady;
             int64_t off = (num * m) >> 39;
             int64_t y = ly + (dy < 0 ? -off : off);
@@ -1006,7 +1020,7 @@ void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
         int64_t d0 = (int64_t)x - lx;
         int64_t off = d0 * ady / adx;
         int64_t err = d0 * ady - off * adx;
-        for (; x < end; ++x) {
+        for (; x < send; ++x) {
           int64_t y = ly + (dy < 0 ? -off : off);
           y = y < 0 ? 0 : (y > 255 ? 255 : y);
           row[x] *= inv_db[y];
@@ -1021,7 +1035,7 @@ void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
     } else {
       int64_t y = ly < 0 ? 0 : (ly > 255 ? 255 : ly);
       const float m = inv_db[y];
-      for (; x < end; ++x) {
+      for (; x < send; ++x) {
         float v = row[x];
         if (v != 0.0f) row[x] = v * m;
       }
@@ -1029,12 +1043,12 @@ void floor_apply(const Floor1& f, const float* inv_db, const int32_t* ys,
     if (end > x_cursor) x_cursor = end;
     prev = i;
   }
-  if (prev >= 0 && x_cursor < n2) {
+  if (prev >= 0 && x_cursor < xmax) {
     // bins at/after the last used post hold its y; this tail region is
     // mostly untouched (zero) residue — the skip leaves it zero
     int64_t y = ys[prev] < 0 ? 0 : (ys[prev] > 255 ? 255 : ys[prev]);
     const float m = inv_db[y];
-    for (int x = x_cursor; x < n2; ++x) {
+    for (int x = x_cursor; x < xmax; ++x) {
       float v = row[x];
       if (v != 0.0f) row[x] = v * m;
     }
@@ -1080,6 +1094,28 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
   const bool cyc = cycles_on();
   uint64_t t0 = cyc ? tsc() : 0;
 
+  // Per-channel residue write bound for this (mapping, block size): no
+  // residue store can land at/after bin `lim` (type 1/2 vectors overshoot
+  // `end` by < wr_slack, clamped at half; type 2 interleaves over the
+  // submap's channels), and coupling/floor preserve zeros — so the
+  // coupling pass and both floor multiplies clamp their work to `lim`.
+  // The stage-0 memset still zeroes [0, n2): the caller hands np.empty
+  // rows, so the tail must be zeroed exactly once here.
+  int lim = 0;
+  for (int i = 0; i < mapping.submap_count; ++i) {
+    int chs = 0;
+    for (int c = 0; c < C; ++c)
+      if (mapping.mux[c] == i) ++chs;
+    if (!chs) continue;
+    const Residue& r = s.residues[mapping.submap_residue[i]];
+    int64_t half = (r.type == 2) ? (int64_t)n2 * chs : (int64_t)n2;
+    int64_t ext = (int64_t)r.end + r.wr_slack;
+    if (ext > half) ext = half;
+    int l = (r.type == 2) ? (int)((ext + chs - 1) / chs) : (int)ext;
+    if (l > lim) lim = l;
+  }
+  if (lim > n2) lim = n2;
+
   Scratch& sc = scratch();
   sc.spec_ys.assign((size_t)C * P, 0);
   sc.spec_used.assign((size_t)C * P, 0);
@@ -1106,6 +1142,13 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
     uint64_t t1 = tsc();
     g_cycles[0] += t1 - t0;
     t0 = t1;
+  }
+  if (cyc) {  // memset share probe: re-time stage-0's zeroing in isolation
+    uint64_t tm = tsc();
+    for (int c = 0; c < C; ++c)
+      std::memset(spec_out + (int64_t)c * s.n2max, 0, sizeof(float) * n2);
+    g_cycles[4] += tsc() - tm;
+    t0 = tsc();
   }
   std::vector<uint8_t>& has_floor = sc.has_floor;
   has_floor.assign(sc.execute.begin(), sc.execute.end());
@@ -1143,7 +1186,7 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
     if (!(sc.execute[m] || sc.execute[a])) continue;
     float* rm = &spec_out[(int64_t)m * s.n2max];
     float* ra = &spec_out[(int64_t)a * s.n2max];
-    for (int x = 0; x < n2; ++x) {
+    for (int x = 0; x < lim; ++x) {  // bins >= lim are (0, 0) -> (0, 0)
       float M = rm[x], A = ra[x], nm, na;
       if (M > 0.0f) {
         if (A > 0.0f) { nm = M; na = M - A; }
@@ -1168,7 +1211,7 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
   for (int c = 0; c < C; ++c) {
     float* row = &spec_out[(int64_t)c * s.n2max];
     if (!has_floor[c]) {
-      std::memset(row, 0, sizeof(float) * n2);
+      std::memset(row, 0, sizeof(float) * lim);  // the tail is still zero
       continue;
     }
     const int fi = mapping.submap_floor[mapping.mux[c]];
@@ -1177,13 +1220,14 @@ void unpack_one_spec(const Setup& s, const uint8_t* bytes, int64_t nbytes,
       const bool short_blk = (n2 == s.block0 / 2);
       floor0_apply(f0, short_blk ? f0.bark0 : f0.bark1,
                    short_blk ? f0.w0 : f0.w1, n2, sc.f0_amp[c],
-                   &sc.f0_coeffs[(size_t)c * (s.f0_max_order + 1)], row);
+                   &sc.f0_coeffs[(size_t)c * (s.f0_max_order + 1)], row,
+                   lim);
       continue;
     }
     const Floor1& f = s.floors[fi];
     floor_apply(f, s.inv_db, &sc.spec_ys[(size_t)c * P],
                 &sc.spec_used[(size_t)c * P], n2, row, s.floor_div,
-                s.floor_inc);
+                s.floor_inc, lim);
   }
   if (cyc) g_cycles[3] += tsc() - t0;
 
@@ -1534,6 +1578,14 @@ void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
         gt[(size_t)cls * rs.max_stages + stg] = sym_groups(*s, rs, cls, stg);
     s->groups_tabs.push_back(std::move(gt));
     rs.groups_tab = s->groups_tabs.back().data();
+    rs.wr_slack = 0;
+    for (int cls = 0; cls < rs.classifications; ++cls)
+      for (int stg = 0; stg < rs.max_stages; ++stg) {
+        int32_t b = rs.books[(int64_t)cls * rs.max_stages + stg];
+        if (b >= 0 && b < (int32_t)s->books.size() &&
+            s->books[b].dims > rs.wr_slack)
+          rs.wr_slack = s->books[b].dims;
+      }
     s->residues.push_back(rs);
   }
   for (int m = 0; m < n_mappings; ++m) {
@@ -1691,7 +1743,7 @@ int32_t nvt_has_spec(void* setup) {
 // diagnostics above): out[4] = floor_unpack, residue_decode, coupling,
 // floor_apply rdtsc cycles accumulated since the last read.
 void nvt_cycles_read(uint64_t* out) {
-  for (int i = 0; i < 4; ++i) out[i] = g_cycles[i].exchange(0);
+  for (int i = 0; i < 5; ++i) out[i] = g_cycles[i].exchange(0);
 }
 
 // Finish one mode bucket's IMDCT from its DCT-IV half: map the length-n/2
