@@ -17,13 +17,26 @@ from nvorbis_tpu.engine.plan import peek_mode_index, plan_window
 from nvorbis_tpu.native import PKT_EOS, PKT_HAS_GRANULE, packetize
 
 
-def table_for_decoder(decoder, skip_packets=3):
+_NO_TABLE = object()  # negative-cache sentinel on the decoder
+
+
+def table_for_decoder(decoder, skip_packets=3, max_bytes=None):
     """Build a packet table for a StreamDecoder's logical stream, or None.
 
     Snapshots the container bytes from the decoder's seekable provider and
     packetizes from the stream's first page onward (so a chained container
     reusing a serial cannot alias an earlier logical stream).
+
+    The result (positive or negative) is cached on the decoder: the header
+    parse (stream_decoder._try_table_headers) and the bulk planes all want
+    the same table, and the C++ scan plus the snapshot read were measured
+    ~90 us even on a 67 kB file.  ``max_bytes`` bounds the snapshot for
+    opportunistic callers (the open path): when the stream is larger,
+    return None WITHOUT caching so a later bulk decode still builds it.
     """
+    cached = getattr(decoder, "_pkt_table", None)
+    if cached is not None:
+        return None if cached is _NO_TABLE else cached
     prov = decoder._packet_provider
     index = getattr(prov, "_index", None)
     if index is None:  # forward-only provider
@@ -38,6 +51,11 @@ def table_for_decoder(decoder, skip_packets=3):
     first_off = abs(offsets[0])
     try:
         pos = stream.tell()
+        if max_bytes is not None:
+            end = stream.seek(0, 2)
+            if end - first_off > max_bytes:
+                stream.seek(pos)
+                return None
         stream.seek(first_off)
         raw = stream.read()
         stream.seek(pos)
@@ -45,7 +63,9 @@ def table_for_decoder(decoder, skip_packets=3):
         return None
     table = packetize(raw, prov.stream_serial)
     if table is None or len(table[1]) - 1 <= skip_packets:
+        decoder._pkt_table = _NO_TABLE
         return None
+    decoder._pkt_table = table
     return table
 
 

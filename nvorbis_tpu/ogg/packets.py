@@ -37,10 +37,33 @@ class PacketProvider:
         self.stream_serial = serial
         self._page_index = 0
         self._packet_index = 0
+        self._skip_packets = 0
 
     # -- sequential iteration ------------------------------------------------
 
+    def fast_forward_packets(self, n: int) -> None:
+        """Defer advancing past ``n`` packets until the next sequential
+        pull.  The table-backed header parse consumes the header packets
+        from the C++ packetization without walking their pages here; a
+        later streaming read drains the skip through the normal walk, and
+        an absolute reposition (seek_to) cancels it."""
+        self._skip_packets = n
+
+    def _drain_skip(self) -> None:
+        while self._skip_packets > 0:
+            pkt, pg, pki = self._next_packet(
+                self._page_index, self._packet_index
+            )
+            if pkt is None:
+                self._skip_packets = 0
+                return
+            self._page_index = pg
+            self._packet_index = pki
+            self._skip_packets -= 1
+
     def get_next_packet(self):
+        if self._skip_packets:
+            self._drain_skip()
         pkt, pg, pki = self._next_packet(self._page_index, self._packet_index)
         if pkt is not None:
             self._page_index = pg
@@ -48,6 +71,8 @@ class PacketProvider:
         return pkt
 
     def peek_next_packet(self):
+        if self._skip_packets:
+            self._drain_skip()
         pkt, _, _ = self._next_packet(self._page_index, self._packet_index)
         return pkt
 
@@ -200,6 +225,7 @@ class PacketProvider:
         if norm is None:
             raise ValueError("granulePos out of range")
         self._page_index, self._packet_index = norm
+        self._skip_packets = 0  # absolute reposition cancels any deferred skip
         return granule_pos
 
     def _previous_page_info(self, page_index, get_packet_granule_count):

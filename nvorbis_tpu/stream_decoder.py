@@ -22,6 +22,7 @@ from nvorbis_tpu.errors import (
 from nvorbis_tpu.codec import setup as setup_mod
 from nvorbis_tpu.codec.floor import Floor1
 from nvorbis_tpu.codec.frames import unpack_audio_packet
+from nvorbis_tpu.ogg.packets import Packet as OggPacket
 from nvorbis_tpu.stats import StreamStats
 from nvorbis_tpu.tags import TagData
 from nvorbis_tpu.utils.bitmath import CLIP_LIMIT
@@ -111,41 +112,102 @@ class StreamDecoder:
         self._id_header = id_header
         self._stats.set_sample_rate(id_header.sample_rate)
         self._add_header_packet_stats(first_packet)
-        provider.get_next_packet().done()  # consume the peeked packet
 
-        packet = provider.get_next_packet()
-        if packet is None:
-            return False
-        comments = setup_mod.parse_comment_header(packet)
-        if comments is None:
-            return False
-        self._vendor, self._comments = comments
-        self._add_header_packet_stats(packet)
-        packet.done()
+        if not self._try_table_headers(first_packet, id_header):
+            provider.get_next_packet().done()  # consume the peeked packet
 
-        packet = provider.get_next_packet()
-        if packet is None:
-            return False
-        stp, hdr_bits, hdr_rem = setup_mod.parse_setup_header_cached(
-            packet, id_header
-        )
-        if stp is None:
-            return False
-        self._setup = stp
-        self._stats.add_packet(
-            -1, hdr_bits, hdr_rem, packet.container_overhead_bits
-        )
-        packet.done()
+            packet = provider.get_next_packet()
+            if packet is None:
+                return False
+            comments = setup_mod.parse_comment_header(packet)
+            if comments is None:
+                return False
+            self._vendor, self._comments = comments
+            self._add_header_packet_stats(packet)
+            packet.done()
+
+            packet = provider.get_next_packet()
+            if packet is None:
+                return False
+            stp, hdr_bits, hdr_rem = setup_mod.parse_setup_header_cached(
+                packet, id_header
+            )
+            if stp is None:
+                return False
+            self._setup = stp
+            self._stats.add_packet(
+                -1, hdr_bits, hdr_rem, packet.container_overhead_bits
+            )
+            packet.done()
 
         # dense floor1 indexing for the device tables
         self._floor_id_map = {}
         self._max_posts = 1
-        for f in stp.floors:
+        for f in self._setup.floors:
             if isinstance(f, Floor1):
                 self._floor_id_map[id(f)] = len(self._floor_id_map)
                 self._max_posts = max(self._max_posts, f.post_count)
 
         self._tags = None
+        return True
+
+    def _try_table_headers(self, first_packet, id_header) -> bool:
+        """Parse the comment+setup headers from the C++ packet table.
+
+        For small seekable streams the one-pass native packetization
+        (built here, cached on the decoder, and reused by decode_all)
+        replaces the Python page walk for header packets 1-2 — the walk
+        (page reads + CRC + packet assembly) measured ~40% of a small
+        file's open.  The provider is fast-forwarded lazily so a later
+        streaming read still starts at the first audio packet.  Returns
+        False (having touched nothing observable) when the table is
+        unavailable or disagrees with the provider's first packet —
+        the caller then runs the provider path.
+        """
+        import os
+
+        provider = self._packet_provider
+        if not getattr(provider, "can_seek", False) or not hasattr(
+            provider, "fast_forward_packets"
+        ):
+            return False
+        try:
+            max_bytes = int(
+                os.environ.get("NVT_OPEN_TABLE_BYTES", str(4 << 20))
+            )
+        except ValueError:
+            max_bytes = 4 << 20
+        if max_bytes <= 0:
+            return False
+        from nvorbis_tpu.ogg.fast_packets import table_for_decoder
+
+        table = table_for_decoder(self, max_bytes=max_bytes)
+        if table is None:
+            return False
+        data, off, gran, flags, ovh = table
+        # alignment guard: table packet 0 must be the provider's packet 0
+        # (a chained container or resync could misalign them)
+        if bytes(data[off[0]:off[1]]) != bytes(first_packet.data):
+            return False
+        p1 = OggPacket(data[off[1]:off[2]].tobytes())
+        p1.container_overhead_bits = int(ovh[1]) * 8
+        comments = setup_mod.parse_comment_header(p1)
+        if comments is None:
+            return False
+        p2 = OggPacket(data[off[2]:off[3]].tobytes())
+        p2.container_overhead_bits = int(ovh[2]) * 8
+        stp, hdr_bits, hdr_rem = setup_mod.parse_setup_header_cached(
+            p2, id_header
+        )
+        if stp is None:
+            return False
+        self._vendor, self._comments = comments
+        self._add_header_packet_stats(p1)
+        self._setup = stp
+        self._stats.add_packet(
+            -1, hdr_bits, hdr_rem, p2.container_overhead_bits
+        )
+        provider.fast_forward_packets(3)
         return True
 
     def _add_header_packet_stats(self, packet):

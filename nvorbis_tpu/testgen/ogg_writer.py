@@ -208,6 +208,7 @@ def _repaginate(src_path, repeats, serial, paginator=paginate):
     # walk every raw packet from the stream start (headers first)
     prov._page_index = 0
     prov._packet_index = 0
+    prov._skip_packets = 0  # cancel the open's deferred header skip
     while True:
         p = prov.get_next_packet()
         if p is None:
