@@ -186,6 +186,23 @@ def load():
             ]
             lib.nvt_crc32.restype = ctypes.c_uint32
             lib.nvt_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            lib.nvt_plan_window.restype = ctypes.c_int32
+            lib.nvt_plan_window.argtypes = [
+                ctypes.c_int64,   # n
+                ctypes.c_void_p,  # meta [n,8] i32
+                ctypes.c_int64,   # n_modes
+                ctypes.c_int64,   # w_max
+                ctypes.c_void_p,  # ov_tab [n_modes, w_max, 3] i64
+                ctypes.c_void_p,  # blk_tab [n_modes] i64
+                ctypes.c_void_p,  # gran [n] i64
+                ctypes.c_void_p,  # has_gran [n] u8
+                ctypes.c_void_p,  # eos [n] u8
+                ctypes.c_void_p,  # resync [n] u8
+                ctypes.c_void_p,  # state [11] i64 in/out
+                ctypes.c_void_p,  # pa [n,5] i64 out
+                ctypes.c_void_p,  # samples [n] i64 out
+                ctypes.c_void_p,  # last_plan [5] i64 out
+            ]
             lib.nvt_packetize.restype = ctypes.c_int64
             lib.nvt_packetize.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint32,

@@ -2209,4 +2209,134 @@ void nvt_unpack_window_sym(void* setup, const uint8_t* bytes,
   for (auto& th : threads) th.join();
 }
 
+// Vectorized lapping planner for one all-good window — the exact int64
+// math of engine/plan.plan_window (which documents the reference
+// semantics: StreamDecoder.cs:358-363/428-451 granule pickup + end trim).
+// The Python twin stays the semantic oracle and the fallback; this entry
+// exists because ~20 small-array numpy ops cost ~70 us per chunk — a
+// fixed cost that dominated small-file decodes (engine/host.py).
+//
+// state[11] (in/out; written back only on success):
+//   0 emitted  1 stream_pos0  2 has_position  3 prev_set
+//   4 prevA    5 prev_start   6 prev_valid    7 prev_total
+//   8 prev_drained  9 first  10 eos_found
+// meta: int32 [n, 8] unpack rows (col 0 ok, 1 mode, 2 widx).
+// ov_tab: int64 [n_modes, w_max, 3]; blk_tab: int64 [n_modes].
+// gran: int64 [n]; has_gran/eos/resync: uint8 [n].
+// Outputs: pa int64 [n,5] (ok, A, start, valid, total), samples int64
+// [n], last_plan int64 [5] (A, start, valid, total, samples).
+// Returns 1 on success, 0 when a precondition fails (caller replays the
+// window through the Python path, which owns every edge case).
+int32_t nvt_plan_window(
+    int64_t n, const int32_t* meta, int64_t n_modes, int64_t w_max,
+    const int64_t* ov_tab, const int64_t* blk_tab, const int64_t* gran,
+    const uint8_t* has_gran, const uint8_t* eos, const uint8_t* resync,
+    int64_t* state, int64_t* pa, int64_t* samples, int64_t* last_plan) {
+  if (n <= 0) return 0;
+  // all-good, no-resync gate (plan_job_arr's entry condition)
+  for (int64_t i = 0; i < n; ++i)
+    if (meta[i * 8] != 1 || resync[i]) return 0;
+  if (state[8] && state[3]) return 0;  // prev_drained with a live prev
+  for (int64_t i = 0; i + 1 < n; ++i)
+    if (eos[i]) return 0;
+
+  // gather the overlap triple + block size per frame into pa columns
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t m = meta[i * 8 + 1], w = meta[i * 8 + 2];
+    if (m < 0 || m >= n_modes || w < 0 || w >= w_max) return 0;
+    const int64_t* svt = ov_tab + (m * w_max + w) * 3;
+    pa[i * 5 + 0] = 1;
+    pa[i * 5 + 2] = svt[0];
+    pa[i * 5 + 3] = svt[1];
+    pa[i * 5 + 4] = svt[2];
+  }
+
+  const int64_t emitted = state[0];
+  int64_t A0, samples0, p_valid0 = -1, p_total0 = -1;
+  if (!state[3]) {
+    A0 = -(pa[3] - pa[2]);
+    samples0 = 0;
+  } else {
+    A0 = state[4] + (state[6] - state[5]);
+    samples0 = pa[3] - pa[2];
+    p_valid0 = state[6];
+    p_total0 = state[7];
+  }
+
+  // previous-tail clamp must be a no-op mid-window (room_cap check)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t st = pa[i * 5 + 2], vs = pa[i * 5 + 3] - st;
+    int64_t blk = blk_tab[meta[i * 8 + 1]];
+    int64_t cap = std::min(blk - st, vs);
+    if (cap < 0) cap = 0;
+    if (i == 0) {
+      if (p_total0 >= 0 && p_total0 > p_valid0 + cap) return 0;
+    } else if (pa[(i - 1) * 5 + 4] > pa[(i - 1) * 5 + 3] + cap) {
+      return 0;
+    }
+  }
+
+  int64_t acc = A0;
+  for (int64_t i = 0; i < n; ++i) {
+    pa[i * 5 + 1] = acc;
+    acc += pa[i * 5 + 3] - pa[i * 5 + 2];
+    samples[i] = pa[i * 5 + 3] - pa[i * 5 + 2];
+  }
+  samples[0] = samples0;
+
+  // granule-pickup index (first granule-bearing packet, position unknown)
+  int64_t pk = -1, pk_buffered = 0;
+  if (!state[2]) {
+    for (int64_t i = 0; i < n; ++i)
+      if (has_gran[i]) { pk = i; break; }
+    if (pk >= 0) pk_buffered = pk ? pa[pk * 5 + 1] : emitted;
+  }
+
+  // end-trim at the final packet (granule + eos), pre-pickup position
+  if (eos[n - 1] && has_gran[n - 1]) {
+    int64_t pos0_eff;
+    if (state[2] || pk == n - 1 || pk < 0)
+      pos0_eff = state[1];
+    else
+      pos0_eff = gran[pk] - samples[pk] - pk_buffered;
+    int64_t actual_end = pos0_eff + pa[(n - 1) * 5 + 1] + samples[n - 1];
+    int64_t diff = gran[n - 1] - actual_end;
+    if (diff < 0) {
+      int64_t st_l = pa[(n - 1) * 5 + 2];
+      int64_t trimmed_vs = (pa[(n - 1) * 5 + 3] - st_l) + diff;
+      int64_t blk = blk_tab[meta[(n - 1) * 8 + 1]];
+      int64_t room_t = std::min(blk - st_l, trimmed_vs);
+      if (room_t < 0) room_t = 0;
+      if (n > 1) {
+        if (pa[(n - 2) * 5 + 4] > pa[(n - 2) * 5 + 3] + room_t)
+          pa[(n - 2) * 5 + 4] = pa[(n - 2) * 5 + 3] + room_t;
+      } else if (p_total0 >= 0 && p_total0 > p_valid0 + room_t) {
+        return 0;  // previous-window boxed plan needs in-place mutation
+      }
+      samples[n - 1] += diff;
+      pa[(n - 1) * 5 + 3] += diff;
+    }
+  }
+
+  if (pk >= 0) {
+    state[2] = 1;
+    state[1] = gran[pk] - samples[pk] - pk_buffered;
+  }
+  state[3] = 1;
+  state[4] = pa[(n - 1) * 5 + 1];
+  state[5] = pa[(n - 1) * 5 + 2];
+  state[6] = pa[(n - 1) * 5 + 3];
+  state[7] = pa[(n - 1) * 5 + 4];
+  state[8] = 0;
+  state[9] = 0;
+  state[10] |= eos[n - 1] ? 1 : 0;
+  state[0] = state[4] + state[6] - state[5];
+  last_plan[0] = state[4];
+  last_plan[1] = state[5];
+  last_plan[2] = state[6];
+  last_plan[3] = state[7];
+  last_plan[4] = samples[n - 1];
+  return 1;
+}
+
 }  // extern "C"
