@@ -330,6 +330,39 @@ def plan_window(planner, start, valid, total, gran, has_gran, eos, blocks):
     return pa, samples, last_plan
 
 
+def _build_segments_native(pa, rof, n_max, prev_plan, carry_row,
+                           chunk_base):
+    """C++ :func:`build_segments` (nvt_build_segments): the scalar walk
+    in one call.  Used only for all-good windows (the numpy fast path's
+    own condition — it carries a defensive ``min(sl, length)`` clamp the
+    bad-frame scalar walk deliberately omits); returns None to fall
+    back."""
+    from nvorbis_tpu.native import load as _load
+
+    lib = _load()
+    nF = pa.shape[0]
+    if lib is None or not nF or not bool((pa[:, 0] == 1).all()):
+        return None
+    if not (pa.flags.c_contiguous and rof.flags.c_contiguous):
+        return None
+    prev = np.empty(5, dtype=np.int64)
+    has_prev = prev_plan is not None
+    if has_prev:
+        prev[0] = prev_plan.pos_base
+        prev[1] = prev_plan.start
+        prev[2] = prev_plan.valid
+        prev[3] = prev_plan.total
+        prev[4] = carry_row
+    out = np.empty((4, nF + 1), dtype=np.int64)
+    k = lib.nvt_build_segments(
+        nF, pa.ctypes.data, rof.ctypes.data, n_max,
+        1 if has_prev else 0, prev.ctypes.data, chunk_base,
+        out[0].ctypes.data, out[1].ctypes.data, out[2].ctypes.data,
+        out[3].ctypes.data,
+    )
+    return out[0, :k], out[1, :k], out[2, :k], out[3, :k]
+
+
 def build_segments(pa, rof, n_max, prev_plan, carry_row, chunk_base):
     """Tile one chunk's output range into lapped segments.
 
@@ -350,6 +383,10 @@ def build_segments(pa, rof, n_max, prev_plan, carry_row, chunk_base):
     lapped secondary length (0 = no secondary).
     """
     nF = pa.shape[0]
+    res = _build_segments_native(pa, rof, n_max, prev_plan, carry_row,
+                                 chunk_base)
+    if res is not None:
+        return res
     ok = pa[:, 0] == 1
     if ok.all() and nF:
         # fast path: every frame laps its predecessor (the carry frame

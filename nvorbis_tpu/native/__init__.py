@@ -186,6 +186,20 @@ def load():
             ]
             lib.nvt_crc32.restype = ctypes.c_uint32
             lib.nvt_crc32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            lib.nvt_build_segments.restype = ctypes.c_int64
+            lib.nvt_build_segments.argtypes = [
+                ctypes.c_int64,   # nF
+                ctypes.c_void_p,  # pa [nF,5] i64
+                ctypes.c_void_p,  # rof [nF] i64 (NULL = identity)
+                ctypes.c_int64,   # n_max
+                ctypes.c_int32,   # has_prev
+                ctypes.c_void_p,  # prev [5] i64
+                ctypes.c_int64,   # chunk_base
+                ctypes.c_void_p,  # s_out
+                ctypes.c_void_p,  # prim_out
+                ctypes.c_void_p,  # sec_out
+                ctypes.c_void_p,  # sl_out
+            ]
             lib.nvt_plan_window.restype = ctypes.c_int32
             lib.nvt_plan_window.argtypes = [
                 ctypes.c_int64,   # n

@@ -2339,4 +2339,67 @@ int32_t nvt_plan_window(
   return 1;
 }
 
+// Segment tiling for one chunk's overlap-add — the exact logic of
+// engine/plan.build_segments (reference anchor there:
+// StreamDecoder.cs:532-541 lapped emit + :352-356 bad-packet tail drain).
+// The scalar walk is the general form (the numpy fast path is its all-ok
+// vectorization); in C++ it is branch-cheap enough to be the only form.
+//
+// pa: int64 [nF,5] plan columns (ok, A, start, valid, total).
+// rof: int64 [nF] packet row -> flat synthesis row, or nullptr for
+// identity.  prev: int64[5] (pos_base, start, valid, total, carry_row)
+// when has_prev, else ignored.  Outputs s/prim/sec/sl (each int64
+// [nF+1] capacity); returns the segment count after zero-length clip.
+int64_t nvt_build_segments(int64_t nF, const int64_t* pa,
+                           const int64_t* rof, int64_t n_max,
+                           int32_t has_prev, const int64_t* prev,
+                           int64_t chunk_base, int64_t* s_out,
+                           int64_t* prim_out, int64_t* sec_out,
+                           int64_t* sl_out) {
+  int64_t p_pos = 0, p_start = 0, p_valid = 0, p_total = 0, p_row = 0;
+  bool drained = true;
+  if (has_prev) {
+    p_pos = prev[0]; p_start = prev[1]; p_valid = prev[2];
+    p_total = prev[3]; p_row = prev[4];
+    drained = false;
+  }
+  int64_t k = 0;
+  auto emit = [&](int64_t s, int64_t length, int64_t pr, int64_t se,
+                  int64_t sl) {
+    if (s < 0) {  // clip lead-in (carry frame spans the chunk boundary)
+      int64_t d = -s;
+      s = 0; length -= d; pr += d; se += d;
+      sl = sl - d < 0 ? 0 : sl - d;
+    }
+    if (sl > length) sl = length;  // defensive: OLA writes sl blindly
+    if (length > 0) {
+      s_out[k] = s; prim_out[k] = pr; sec_out[k] = se; sl_out[k] = sl;
+      ++k;
+    }
+  };
+  for (int64_t i = 0; i < nF; ++i) {
+    const int64_t* p = pa + i * 5;
+    if (!p[0]) {
+      if (!drained) {  // bad packet: drain the previous tail once
+        emit(p_pos + (p_valid - p_start) - chunk_base, p_total - p_valid,
+             p_row * n_max + p_valid, 0, 0);
+        drained = true;
+      }
+      continue;
+    }
+    int64_t row = rof ? rof[i] : i;
+    int64_t sec_flat = 0, sec_len = 0;
+    if (!drained) {
+      sec_len = p_total - p_valid;
+      sec_flat = p_row * n_max + p_valid;
+    }
+    emit(p[1] - chunk_base, p[3] - p[2], row * n_max + p[2], sec_flat,
+         sec_len);
+    p_pos = p[1]; p_start = p[2]; p_valid = p[3]; p_total = p[4];
+    p_row = row;
+    drained = false;
+  }
+  return k;
+}
+
 }  // extern "C"

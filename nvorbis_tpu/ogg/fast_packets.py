@@ -222,6 +222,38 @@ class PacketTableCursor:
         self.table = table
         self.idx = start_index
         self.done = start_index >= len(table[1]) - 1
+        # per-table precomputes (sliced per window below: the per-pull
+        # mask/astype ops were a measured fixed cost on small files)
+        flags = table[3]
+        self._has_gran = (flags & PKT_HAS_GRANULE) != 0
+        self._eos = (flags & PKT_EOS) != 0
+        self._ovh_bits = table[4].astype(np.int64) * 8
+        self._no_resync = np.zeros(len(table[1]) - 1, dtype=bool)
+        self._sizes = None  # lazy: needs the setup (first pull builds it)
+
+    def _build_sizes(self, setup, blk_tab):
+        data, off = self.table[0], self.table[1]
+        mfb = setup.mode_field_bits
+        nm = len(setup.modes)
+        n_total = len(off) - 1
+        if mfb <= 7:
+            first = data[off[:-1]]
+            mode_idx = (first.astype(np.int64) >> 1) & ((1 << mfb) - 1)
+            valid = (first & 1) == 0
+        else:  # >128 modes: byte-spanning field, peek per packet (rare)
+            mode_idx = np.zeros(n_total, dtype=np.int64)
+            valid = np.zeros(n_total, dtype=bool)
+            for k in range(n_total):
+                mi = peek_mode_index(
+                    data[off[k] : off[k] + 8].tobytes(), mfb
+                )
+                if mi is not None:
+                    mode_idx[k] = mi
+                    valid[k] = True
+        valid = valid & (mode_idx < nm)
+        self._sizes = np.where(
+            valid, blk_tab[np.minimum(mode_idx, nm - 1)], 0
+        )
 
     def pull(self, setup, blk_tab, budget, size_counts, cap):
         data, off, gran, flags, ovh = self.table
@@ -230,26 +262,10 @@ class PacketTableCursor:
         if i0 >= n_total:
             self.done = True
             return None
-        mfb = setup.mode_field_bits
-        nm = len(setup.modes)
         n_avail = min(budget, n_total - i0)
-
-        if mfb <= 7:
-            first = data[off[i0 : i0 + n_avail]]
-            mode_idx = (first >> 1) & ((1 << mfb) - 1)
-            valid = (first & 1) == 0
-        else:  # >128 modes: byte-spanning field, peek per packet (rare)
-            mode_idx = np.zeros(n_avail, dtype=np.int64)
-            valid = np.zeros(n_avail, dtype=bool)
-            for k in range(n_avail):
-                mi = peek_mode_index(
-                    data[off[i0 + k] : off[i0 + k] + 8].tobytes(), mfb
-                )
-                if mi is not None:
-                    mode_idx[k] = mi
-                    valid[k] = True
-        valid = valid & (mode_idx < nm)
-        sizes = np.where(valid, blk_tab[np.minimum(mode_idx, nm - 1)], 0)
+        if self._sizes is None:
+            self._build_sizes(setup, blk_tab)
+        sizes = self._sizes[i0 : i0 + n_avail]
 
         # include up to (and incl.) the packet that reaches the cap —
         # skipped outright when no size can reach it (small windows /
@@ -273,15 +289,14 @@ class PacketTableCursor:
         if i1 >= n_total:
             self.done = True
 
-        fl = flags[i0:i1]
         return {
             "n": k,
             "view": (data[off[i0] : off[i1]],
                      (off[i0 : i1 + 1] - off[i0]).astype(np.int64)),
             "gran_arr": gran[i0:i1],
-            "has_gran": (fl & PKT_HAS_GRANULE) != 0,
+            "has_gran": self._has_gran[i0:i1],
             "granules": None,  # built lazily if the slow path runs
-            "eos": (fl & PKT_EOS) != 0,
-            "resync": np.zeros(k, dtype=bool),
-            "ovh_bits": ovh[i0:i1].astype(np.int64) * 8,
+            "eos": self._eos[i0:i1],
+            "resync": self._no_resync[i0:i1],
+            "ovh_bits": self._ovh_bits[i0:i1],
         }
