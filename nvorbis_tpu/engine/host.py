@@ -332,8 +332,22 @@ class HostBulkDecoder:
         # pre-clamp magnitude after run()
         maxabs = np.zeros(1, dtype=np.float32)
         self.maxabs = None
+        # per-mode window-table base pointers for the native bucket prep
+        # (the tables live on self._synth for the run's lifetime)
+        win_tabs = None
+        win_ptrs = None
+        if self._fused2 and self._native is not None:
+            try:
+                win_tabs = [self._synth.windows_for(mi)
+                            for mi in range(n_modes)]
+                win_ptrs = np.array([w.ctypes.data for w in win_tabs],
+                                    dtype=np.int64)
+            except Exception:
+                win_tabs = win_ptrs = None
+
         while not provider_done:
             inv_perm = None  # spec rows permuted (mode-sorted) when set
+            rows_sorted = False  # residue rows known mode-ascending
             if cursor is not None:
                 size_counts = {}
                 with span("host.pull"):
@@ -376,6 +390,7 @@ class HostBulkDecoder:
                                 *job["view"],
                                 n_threads=self.unpack_threads,
                             )
+                        rows_sorted = True  # permuted, or already ascending
                         ys = used = has_floor = None
                     elif self._spec:
                         residue, meta = self._native.unpack_spec_view(
@@ -465,17 +480,57 @@ class HostBulkDecoder:
                 rows_all = None
                 g_bufs = []
                 gs_ptrs = []
-                fbuck = np.full(nF + 1, -1, dtype=np.int64)
-                frow = np.zeros(nF + 1, dtype=np.int64)
-                fns = np.zeros(nF + 1, dtype=np.int32)
-                fwin = np.zeros(nF + 1, dtype=np.int64)  # float* per frame
-                fwidx = np.zeros(nF + 1, dtype=np.int32)
+                nbuck = -1
+                if rows_sorted and win_ptrs is not None and nF:
+                    # native bucket prep: fills the per-frame source
+                    # records + the dense bucket table in one call;
+                    # returns -1 (fall back) on any bad frame
+                    fbuck = np.empty(nF + 1, dtype=np.int64)
+                    frow = np.empty(nF + 1, dtype=np.int64)
+                    fns = np.empty(nF + 1, dtype=np.int32)
+                    fwin = np.empty(nF + 1, dtype=np.int64)
+                    fwidx = np.empty(nF + 1, dtype=np.int32)
+                    bucket_t = np.empty((3, n_modes), dtype=np.int64)
+                    nbuck = self._native._lib.nvt_bucket_prep(
+                        nF, pa.ctypes.data, meta.ctypes.data, n_modes,
+                        blk_tab.ctypes.data, win_ptrs.ctypes.data,
+                        fbuck.ctypes.data, frow.ctypes.data,
+                        fns.ctypes.data, fwidx.ctypes.data,
+                        fwin.ctypes.data, bucket_t[0].ctypes.data,
+                        bucket_t[1].ctypes.data, bucket_t[2].ctypes.data,
+                    )
+                if nbuck < 0:
+                    fbuck = np.full(nF + 1, -1, dtype=np.int64)
+                    frow = np.zeros(nF + 1, dtype=np.int64)
+                    fns = np.zeros(nF + 1, dtype=np.int32)
+                    fwin = np.zeros(nF + 1, dtype=np.int64)  # float*/frame
+                    fwidx = np.zeros(nF + 1, dtype=np.int32)
             else:
                 with span("host.alloc"):
                     rows_all = np.empty((nF + 1, C, n_max),
                                         dtype=np.float32)
             with span("host.synth"):
-                if ok.any():
+                if self._fused2 and nbuck >= 0:
+                    # bucket-table lane: each bucket is a contiguous row
+                    # range of the mode-sorted residue; only the DCT and
+                    # the g bookkeeping remain in Python
+                    for b in range(nbuck):
+                        m = int(bucket_t[0, b])
+                        lo = int(bucket_t[1, b])
+                        cntb = int(bucket_t[2, b])
+                        n = int(blk_tab[m])
+                        sel = residue[lo : lo + cntb]
+                        with span("host.dct"):
+                            x = sel[:, :, : n // 2].reshape(-1, n // 2)
+                            g = _dct4(
+                                x, type=4, axis=-1,
+                                overwrite_x=x.flags.c_contiguous,
+                            )
+                            if not g.flags.c_contiguous:
+                                g = np.ascontiguousarray(g)
+                        g_bufs.append(g)
+                        gs_ptrs.append(g.ctypes.data)
+                elif ok.any():
                     mode_r = meta[:nF, 1].astype(np.int64)
                     for m in np.unique(mode_r[ok]):
                         idx = np.flatnonzero(ok & (mode_r == m))

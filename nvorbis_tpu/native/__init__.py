@@ -200,6 +200,23 @@ def load():
                 ctypes.c_void_p,  # sec_out
                 ctypes.c_void_p,  # sl_out
             ]
+            lib.nvt_bucket_prep.restype = ctypes.c_int64
+            lib.nvt_bucket_prep.argtypes = [
+                ctypes.c_int64,   # nF
+                ctypes.c_void_p,  # pa [nF,5] i64
+                ctypes.c_void_p,  # meta [nF,8] i32
+                ctypes.c_int64,   # n_modes
+                ctypes.c_void_p,  # blk [n_modes] i64
+                ctypes.c_void_p,  # win_ptrs [n_modes] i64
+                ctypes.c_void_p,  # fbuck [nF+1] i64
+                ctypes.c_void_p,  # frow [nF+1] i64
+                ctypes.c_void_p,  # fns [nF+1] i32
+                ctypes.c_void_p,  # fwidx [nF+1] i32
+                ctypes.c_void_p,  # fwin [nF+1] i64
+                ctypes.c_void_p,  # bucket_m [n_modes] i64
+                ctypes.c_void_p,  # bucket_lo
+                ctypes.c_void_p,  # bucket_cnt
+            ]
             lib.nvt_plan_window.restype = ctypes.c_int32
             lib.nvt_plan_window.argtypes = [
                 ctypes.c_int64,   # n

@@ -2402,4 +2402,66 @@ int64_t nvt_build_segments(int64_t nF, const int64_t* pa,
   return k;
 }
 
+// Per-chunk synthesis-bucket bookkeeping for the fused finish+OLA lane
+// (engine/host.py fused2): fills the per-frame source records
+// (fbuck/frow/fns/fwidx/fwin) and the dense bucket table in one call —
+// the numpy form (unique + per-mode flatnonzero + five fancy
+// assignments) was ~60 us/chunk of fixed small-array dispatch.
+//
+// Preconditions (returns -1 to fall back to the Python loop): every
+// frame ok (pa col 0), and the caller guarantees the residue rows are
+// mode-sorted (either pre-sorted input or the sorted-unpack
+// permutation) so each bucket is a contiguous row range.  Bucket order
+// is ascending mode id — the same order as np.unique in the fallback.
+//
+// meta: int32 [nF,8] (col 1 mode, col 2 widx) in ORIGINAL frame order.
+// blk: int64 [n_modes] block sizes; win_ptrs: int64 [n_modes] base
+// pointers of each mode's window table (rows of length blk[m] floats).
+// Outputs: fbuck/frow/fwin int64 [nF+1], fns/fwidx int32 [nF+1] (slot
+// nF = carry sentinel), bucket_m/bucket_lo/bucket_cnt int64 [n_modes].
+// Returns the bucket count.
+int64_t nvt_bucket_prep(int64_t nF, const int64_t* pa, const int32_t* meta,
+                        int64_t n_modes, const int64_t* blk,
+                        const int64_t* win_ptrs, int64_t* fbuck,
+                        int64_t* frow, int32_t* fns, int32_t* fwidx,
+                        int64_t* fwin, int64_t* bucket_m,
+                        int64_t* bucket_lo, int64_t* bucket_cnt) {
+  if (n_modes > 256) return -1;
+  int64_t cnt[256] = {0};
+  for (int64_t i = 0; i < nF; ++i) {
+    if (pa[i * 5] != 1) return -1;
+    int64_t m = meta[i * 8 + 1];
+    if (m < 0 || m >= n_modes) return -1;
+    ++cnt[m];
+  }
+  int64_t nb = 0, lo = 0;
+  int64_t bidx[256], run[256];
+  for (int64_t m = 0; m < n_modes; ++m) {
+    if (!cnt[m]) { bidx[m] = -1; continue; }
+    bidx[m] = nb;
+    bucket_m[nb] = m;
+    bucket_lo[nb] = lo;
+    bucket_cnt[nb] = cnt[m];
+    lo += cnt[m];
+    run[m] = 0;
+    ++nb;
+  }
+  for (int64_t i = 0; i < nF; ++i) {
+    int64_t m = meta[i * 8 + 1];
+    int64_t w = meta[i * 8 + 2];
+    int64_t n = blk[m];
+    fbuck[i] = bidx[m];
+    frow[i] = run[m]++;
+    fns[i] = (int32_t)n;
+    fwidx[i] = (int32_t)w;
+    fwin[i] = win_ptrs[m] + w * n * 4;
+  }
+  fbuck[nF] = -1;  // carry sentinel
+  frow[nF] = 0;
+  fns[nF] = 0;
+  fwidx[nF] = 0;
+  fwin[nF] = 0;
+  return nb;
+}
+
 }  // extern "C"
