@@ -1460,6 +1460,118 @@ inline void emit_all(const FrameSrc& fs, int64_t f, int64_t off, int64_t L,
   }
 }
 
+// ---- single-store lapped-prefix emit (pair of frames, region-precut) ----
+//
+// The two-pass form stores the lapped prefix raw, then reloads it for the
+// secondary add: ~5 memory touches per lapped sample.  This form computes
+// fin(sec + prim) in one store — but WITHOUT the per-element region
+// compares that made a naive combined pass lose an A/B (see the note in
+// nvt_finish_ola): the prefix is pre-split at the region breakpoints of
+// BOTH frames (<= 5 sub-segments), and each sub-segment runs a tight
+// fixed-formula loop selected from 16 (regionP x regionS) template
+// instantiations.  Per-element ops and their order match the two-pass
+// form exactly (float add is commutative bitwise), so outputs are
+// bit-equal.
+
+// region value: 0 = A, 1 = B, 2 = C (emit_role's finish formulas),
+// 3 = carry row (pre-offset pointer, indexed by t)
+template <int R>
+inline float reg_val(const float* g, const float* w, int n4, int64_t x,
+                     int64_t t) {
+  if constexpr (R == 0) return (g[n4 + x] * 0.5f) * w[x];
+  if constexpr (R == 1) return (-g[3 * n4 - 1 - x] * 0.5f) * w[x];
+  if constexpr (R == 2) return (-g[x - 3 * n4] * 0.5f) * w[x];
+  return g[t];  // R == 3
+}
+
+template <int CT, int RP, int RS, typename Fin>
+inline void pair_loop(const float* const* gP, const float* wP, int nP4,
+                      int64_t poff, const float* const* gS,
+                      const float* wS, int nS4, int64_t soff, int64_t t0,
+                      int64_t t1, float* o, int C_dyn, Fin&& fin) {
+  const int C = CT > 0 ? CT : C_dyn;
+  for (int64_t t = t0; t < t1; ++t) {
+    const int64_t xP = poff + t, xS = soff + t;
+    float* ot = o + t * C;
+    for (int c = 0; c < C; ++c) {
+      float vp = reg_val<RP>(gP[c], wP, nP4, xP, t);
+      float vs = reg_val<RS>(gS[c], wS, nS4, xS, t);
+      ot[c] = fin(vs + vp);
+    }
+  }
+}
+
+// one frame's per-channel source pointers + region geometry
+struct PairSide {
+  const float* gp[kMaxChI];
+  const float* w = nullptr;
+  int n4 = 0;
+  bool carry = false;
+};
+
+inline void pair_side_init(const FrameSrc& fs, int64_t f, int64_t off,
+                           int C, PairSide& ps) {
+  if (fs.fbuck[f] < 0) {
+    ps.carry = true;
+    for (int c = 0; c < C; ++c)
+      ps.gp[c] = fs.carry_row + (int64_t)c * fs.n_max + off;
+    return;
+  }
+  const int n = fs.fns[f];
+  const int n2 = n / 2;
+  ps.n4 = n / 4;
+  const float* g0 = fs.gs[fs.fbuck[f]] + (fs.frow[f] * C) * (int64_t)n2;
+  for (int c = 0; c < C; ++c) ps.gp[c] = g0 + (int64_t)c * n2;
+  ps.w = fs.fwin[f];
+}
+
+// region of x for a finish-mapped frame: A [0,n4), B [n4,3n4), C [3n4,n)
+inline int reg_of(int64_t x, int n4) {
+  return x < n4 ? 0 : (x < 3 * n4 ? 1 : 2);
+}
+inline int64_t reg_end(int64_t x, int n4) {
+  return x < n4 ? n4 : (x < 3 * n4 ? 3 * (int64_t)n4 : INT64_MAX);
+}
+
+template <int CT, typename Fin>
+inline void emit_pair_all(const FrameSrc& fs, int64_t fp, int64_t poff,
+                          int64_t fsec, int64_t soff, int64_t S, float* o,
+                          int32_t C_dyn, Fin&& fin) {
+  const int C = CT > 0 ? CT : C_dyn;
+  PairSide P, Q;
+  pair_side_init(fs, fp, poff, C, P);
+  pair_side_init(fs, fsec, soff, C, Q);
+  int64_t t = 0;
+  while (t < S) {
+    int rp = P.carry ? 3 : reg_of(poff + t, P.n4);
+    int rs = Q.carry ? 3 : reg_of(soff + t, Q.n4);
+    int64_t hi = S;
+    if (!P.carry) {
+      int64_t e = reg_end(poff + t, P.n4) - poff;
+      if (e < hi) hi = e;
+    }
+    if (!Q.carry) {
+      int64_t e = reg_end(soff + t, Q.n4) - soff;
+      if (e < hi) hi = e;
+    }
+    switch (rp * 4 + rs) {
+#define NVT_PAIR_CASE(RP, RS)                                          \
+  case RP * 4 + RS:                                                    \
+    pair_loop<CT, RP, RS>(P.gp, P.w, P.n4, poff, Q.gp, Q.w, Q.n4,      \
+                          soff, t, hi, o, C, fin);                     \
+    break;
+      NVT_PAIR_CASE(0, 0) NVT_PAIR_CASE(0, 1) NVT_PAIR_CASE(0, 2)
+      NVT_PAIR_CASE(0, 3) NVT_PAIR_CASE(1, 0) NVT_PAIR_CASE(1, 1)
+      NVT_PAIR_CASE(1, 2) NVT_PAIR_CASE(1, 3) NVT_PAIR_CASE(2, 0)
+      NVT_PAIR_CASE(2, 1) NVT_PAIR_CASE(2, 2) NVT_PAIR_CASE(2, 3)
+      NVT_PAIR_CASE(3, 0) NVT_PAIR_CASE(3, 1) NVT_PAIR_CASE(3, 2)
+      NVT_PAIR_CASE(3, 3)
+#undef NVT_PAIR_CASE
+    }
+    t = hi;
+  }
+}
+
 }  // namespace
 
 // ------------------------------------------------------------------ C API
@@ -1805,11 +1917,15 @@ void nvt_finish_ola(
     return v;
   };
   const bool inter = C <= kMaxChI && !std::getenv("NVT_NO_OLAI");
-  // (a combined primary+secondary single-store pass over the lapped
-  // prefix was built and A/B'd here: 0.175 s vs 0.156 s median for this
-  // two-pass form on the 5.1 workload — the secondary's reload hits L1
-  // while the per-element region compares the combined form needs cost
-  // more than the store+load they save; reverted)
+  // Lapped-prefix strategy: the region-PRECUT single-store pair emit
+  // (emit_pair_all) computes fin(sec + prim) in one pass with no
+  // per-element region compares.  (History: a naive combined pass WITH
+  // per-element compares lost an A/B 0.175 vs 0.156 s — the compares
+  // cost more than the store+reload they saved; the precut form removes
+  // both.)  NVT_OLA_PAIR=0 keeps the two-pass twin for A/B.
+  const char* pair_env = std::getenv("NVT_OLA_PAIR");  // per call: ~100 ns,
+  const bool pair_on = !(pair_env && pair_env[0] == '0' && !pair_env[1]);
+  // and the in-process A/B harness (tools/ab_host.py) can flip it live
   auto seg_loop = [&](auto ct) {
     constexpr int CT = decltype(ct)::value;
     for (int64_t k = 0; k < nseg; ++k) {
@@ -1818,6 +1934,14 @@ void nvt_finish_ola(
       float* o = out + s[k] * C;
       int64_t pf = prim[k] / n_max, poff = prim[k] % n_max;
       int64_t S = sl[k];
+      if (pair_on && S > 0) {
+        int64_t sf = sec[k] / n_max, soff = sec[k] % n_max;
+        emit_pair_all<CT>(fs, pf, poff, sf, soff, S, o, C, fin);
+        if (L > S)
+          emit_all<false, CT>(fs, pf, poff + S, L - S, o + S * C, C, 0,
+                              fin);
+        continue;
+      }
       emit_all<false, CT>(fs, pf, poff, L, o, C, S, fin);
       if (S > 0) {
         int64_t sf = sec[k] / n_max, soff = sec[k] % n_max;

@@ -38,13 +38,27 @@ REPEATS = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 var, _, bval = spec.partition("=")
 bval = bval or "1"
 
-path = f"/root/repo/.benchcache/long3_x{REPEATS}.ogg"
-if not os.path.exists(path):
-    from nvorbis_tpu.testgen.ogg_writer import make_long_stream
+WORKLOAD = os.environ.get("NVT_AB_WORKLOAD", "stereo")  # stereo | surround
+if WORKLOAD == "surround":
+    import numpy as np
 
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    make_long_stream("/root/reference/TestFiles/3test.ogg", REPEATS, path)
-raw = open(path, "rb").read()
+    from nvorbis_tpu.testgen.vorbis_writer import make_simple_spec
+
+    _spec = make_simple_spec(
+        channels=6, sample_rate=48000, residue_type=2,
+        couplings=[(0, 1), (2, 3), (4, 5)],
+    )
+    raw = _spec.build_stream(np.random.default_rng(1), 60 * REPEATS)
+    CHANNELS, RATE = 6, 48000
+else:
+    path = f"/root/repo/.benchcache/long3_x{REPEATS}.ogg"
+    if not os.path.exists(path):
+        from nvorbis_tpu.testgen.ogg_writer import make_long_stream
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        make_long_stream("/root/reference/TestFiles/3test.ogg", REPEATS, path)
+    raw = open(path, "rb").read()
+    CHANNELS, RATE = 2, 44100
 raws = [raw] * N
 
 from nvorbis_tpu.parallel.batch import BatchDecoder  # noqa: E402
@@ -52,7 +66,7 @@ from nvorbis_tpu.parallel.batch import BatchDecoder  # noqa: E402
 
 def once():
     outs = BatchDecoder(raws).decode_all()
-    return sum(len(o) for o in outs) / 2 / 44100
+    return sum(len(o) for o in outs) / CHANNELS / RATE
 
 
 once()
