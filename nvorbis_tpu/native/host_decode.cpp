@@ -137,6 +137,9 @@ struct Floor1 {
   const int32_t* h_neigh;          // [post_count]
   const int32_t* sort_idx;         // [post_count]
   const int32_t* xs_sorted;        // [post_count] (derived at setup_create)
+  const int64_t* rp_const;         // [post_count] (x-lx) * (2^47/adx + 1):
+                                   // division-free render_point (see
+                                   // floor1_unpack; i < 2 slots are 0)
 };
 
 // LSP floor on the Bark scale (floor type 0 — legacy, rarely used).
@@ -197,6 +200,7 @@ struct Setup {
   std::vector<std::vector<int64_t>> tbl_packs;  // per-book packed prefix
   std::vector<std::vector<int32_t>> groups_tabs;  // per-residue (see Residue)
   std::vector<std::vector<int32_t>> xs_sorteds;   // per-floor sorted x lists
+  std::vector<std::vector<int64_t>> rp_consts;    // per-floor render_point magics
   const float* inv_db;  // [256] Vorbis I inverse-dB table (spec mode)
   // A/B switches, sampled from the environment once per setup_create so
   // in-process alternating benchmarks (tools/ab_variants.py pattern) can
@@ -331,8 +335,21 @@ bool floor1_unpack(const Setup& s, const Floor1& f, BitReader& br,
   used[0] = used[1] = 1;
   for (int i = 2; i < f.post_count; ++i) {
     int lo = f.l_neigh[i], hi = f.h_neigh[i];
-    int predicted = render_point(f.x_list[lo], final_y[lo], f.x_list[hi],
-                                 final_y[hi], f.x_list[i]);
+    // render_point without the per-post integer division: |dy| is < 256
+    // for every spec-range y (range <= 256); the guard keeps the exact
+    // division for the out-of-range values a hostile codebook can emit
+    int y0 = final_y[lo], y1 = final_y[hi];
+    int dy = y1 - y0;
+    int ady = dy < 0 ? -dy : dy;
+    int predicted;
+    int64_t rpc = f.rp_const[i];
+    if (ady < 256 && rpc) {
+      int off = (int)(((int64_t)ady * rpc) >> 47);
+      predicted = dy < 0 ? y0 - off : y0 + off;
+    } else {
+      predicted = render_point(f.x_list[lo], y0, f.x_list[hi], y1,
+                               f.x_list[i]);
+    }
     int val = posts[i];
     int high_room = f.range - predicted;
     int low_room = predicted;
@@ -1653,6 +1670,7 @@ void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
       s->floor0s.push_back(f0);
       s->floors.push_back(Floor1{});  // placeholder: keeps indexing flat
       s->xs_sorteds.emplace_back();
+      s->rp_consts.emplace_back();
       continue;
     }
     if (type != 1) { delete s; return nullptr; }
@@ -1673,6 +1691,24 @@ void* nvt_setup_create(const int32_t* blob_i, int64_t ni, const float* blob_f,
     for (int k = 0; k < fl.post_count; ++k) xs[k] = fl.x_list[fl.sort_idx[k]];
     s->xs_sorteds.push_back(std::move(xs));
     fl.xs_sorted = s->xs_sorteds.back().data();
+    // division-free render_point constants: for post i (>= 2),
+    // off = |dy| * (x - lx) / adx with x/lx/adx static per post, so
+    // (x-lx) * (2^47/adx + 1) folds into one int64; (|dy| * c) >> 47
+    // is EXACT for |dy| < 256 (worst error term |dy|*dx*(adx - 2^47
+    // mod adx)/adx < 2^8 * adx * adx <= 2^40 < 2^47 for adx <= 2^16;
+    // x_list fields are 16-bit) — unpack guards |dy| and falls back
+    // to the division otherwise
+    std::vector<int64_t> rpc((size_t)fl.post_count, 0);
+    for (int k = 2; k < fl.post_count; ++k) {
+      int lx = fl.x_list[fl.l_neigh[k]];
+      int hx = fl.x_list[fl.h_neigh[k]];
+      int64_t adx = (int64_t)hx - lx;
+      if (adx > 0 && adx <= 65536)
+        rpc[(size_t)k] =
+            (int64_t)(fl.x_list[k] - lx) * (((1ll << 47) / adx) + 1);
+    }
+    s->rp_consts.push_back(std::move(rpc));
+    fl.rp_const = s->rp_consts.back().data();
     s->floors.push_back(fl);
   }
   for (int r = 0; r < n_residues; ++r) {
