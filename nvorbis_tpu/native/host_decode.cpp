@@ -1507,12 +1507,22 @@ inline void pair_loop(const float* const* gP, const float* wP, int nP4,
                       const float* wS, int nS4, int64_t soff, int64_t t0,
                       int64_t t1, float* o, int C_dyn, Fin&& fin) {
   const int C = CT > 0 ? CT : C_dyn;
+  // __restrict copies: 2C+3 live pointers exceed gcc's alias-versioning
+  // budget (the two-frame form has more streams than emit_all), which
+  // silently dropped this loop to scalar — the sources never alias the
+  // output, so promise it
+  const float* __restrict g1[kMaxChI];
+  const float* __restrict g2[kMaxChI];
+  for (int c = 0; c < C; ++c) { g1[c] = gP[c]; g2[c] = gS[c]; }
+  const float* __restrict w1 = wP;
+  const float* __restrict w2 = wS;
+  float* __restrict orr = o;
   for (int64_t t = t0; t < t1; ++t) {
     const int64_t xP = poff + t, xS = soff + t;
-    float* ot = o + t * C;
+    float* __restrict ot = orr + t * C;
     for (int c = 0; c < C; ++c) {
-      float vp = reg_val<RP>(gP[c], wP, nP4, xP, t);
-      float vs = reg_val<RS>(gS[c], wS, nS4, xS, t);
+      float vp = reg_val<RP>(g1[c], w1, nP4, xP, t);
+      float vs = reg_val<RS>(g2[c], w2, nS4, xS, t);
       ot[c] = fin(vs + vp);
     }
   }
