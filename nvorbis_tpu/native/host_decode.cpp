@@ -1599,6 +1599,36 @@ inline void emit_pair_all(const FrameSrc& fs, int64_t fp, int64_t poff,
   }
 }
 
+// ---- non-temporal tile emit -------------------------------------------
+//
+// The OLA output is written once and never re-read inside the kernel, but
+// regular stores read-for-ownership every destination cache line first —
+// for a 6-channel decode that is an extra ~227 MB of DRAM reads per
+// round.  Strategy: compute each segment in L1-resident tiles through the
+// existing vectorized emit loops, then stream the tile to the real
+// destination with non-temporal stores (values bit-identical — the copy
+// is exact).  AVX-512 only (the -march=native build on the target host);
+// portable builds take the plain path.
+
+#ifdef __AVX512F__
+#include <immintrin.h>
+
+inline void nt_copy(float* dst, const float* src, int64_t n) {
+  int64_t i = 0;
+  // scalar head until dst is 64-byte aligned
+  while (i < n && (((uintptr_t)(dst + i)) & 63)) { dst[i] = src[i]; ++i; }
+  for (; i + 16 <= n; i += 16)
+    _mm512_stream_ps(dst + i, _mm512_loadu_ps(src + i));
+  for (; i < n; ++i) dst[i] = src[i];
+}
+constexpr bool kHaveNT = true;
+#else
+inline void nt_copy(float* dst, const float* src, int64_t n) {
+  std::memcpy(dst, src, (size_t)n * sizeof(float));
+}
+constexpr bool kHaveNT = false;
+#endif
+
 }  // namespace
 
 // ------------------------------------------------------------------ C API
@@ -1972,6 +2002,18 @@ void nvt_finish_ola(
   const char* pair_env = std::getenv("NVT_OLA_PAIR");  // per call: ~100 ns,
   const bool pair_on = !(pair_env && pair_env[0] == '0' && !pair_env[1]);
   // and the in-process A/B harness (tools/ab_host.py) can flip it live
+  // NT tiles default OFF: measured 8% SLOWER than plain stores on the
+  // target host (156-173 vs 145-153 ms/rep, 3/3 adjacent pairs, 5.1
+  // workload, bit-equal) — this core class elides read-for-ownership on
+  // long sequential store runs already, so the L1 tile pass is pure
+  // added work.  NVT_OLA_NT=1 keeps the lane measurable on other hosts.
+  const char* nt_env = std::getenv("NVT_OLA_NT");
+  const bool nt_on =
+      kHaveNT && pair_on && nt_env && nt_env[0] == '1' && !nt_env[1];
+  // L1-resident tile for the non-temporal path: computed through the
+  // same emit loops (bit-identical values), then streamed to `out`
+  constexpr int64_t kTileFloats = 4096;  // 16 KB
+  alignas(64) thread_local float tile[kTileFloats];
   auto seg_loop = [&](auto ct) {
     constexpr int CT = decltype(ct)::value;
     for (int64_t k = 0; k < nseg; ++k) {
@@ -1980,6 +2022,23 @@ void nvt_finish_ola(
       float* o = out + s[k] * C;
       int64_t pf = prim[k] / n_max, poff = prim[k] % n_max;
       int64_t S = sl[k];
+      if (nt_on) {
+        const int64_t tile_t = kTileFloats / (CT > 0 ? CT : C);
+        int64_t sf = 0, soff = 0;
+        if (S > 0) { sf = sec[k] / n_max; soff = sec[k] % n_max; }
+        for (int64_t t0 = 0; t0 < L; t0 += tile_t) {
+          int64_t tl = std::min(tile_t, L - t0);
+          int64_t lap = std::min(std::max(S - t0, (int64_t)0), tl);
+          if (lap > 0)
+            emit_pair_all<CT>(fs, pf, poff + t0, sf, soff + t0, lap,
+                              tile, C, fin);
+          if (tl > lap)
+            emit_all<false, CT>(fs, pf, poff + t0 + lap, tl - lap,
+                                tile + lap * C, C, 0, fin);
+          nt_copy(o + t0 * C, tile, tl * C);
+        }
+        continue;
+      }
       if (pair_on && S > 0) {
         int64_t sf = sec[k] / n_max, soff = sec[k] % n_max;
         emit_pair_all<CT>(fs, pf, poff, sf, soff, S, o, C, fin);
@@ -2020,6 +2079,9 @@ void nvt_finish_ola(
       }
     }
   }
+#ifdef __AVX512F__
+  if (nt_on) _mm_sfence();  // streamed stores are weakly ordered
+#endif
   if (maxabs_io) *maxabs_io = mx;
 }
 
