@@ -344,10 +344,17 @@ class HostBulkDecoder:
                                     dtype=np.int64)
             except Exception:
                 win_tabs = win_ptrs = None
+        tight_unpack = (
+            win_ptrs is not None
+            and hasattr(self._native, "unpack_spec_ptr")
+            and not os.environ.get("NVT_NO_TIGHT_UNPACK")
+        )
 
         while not provider_done:
             inv_perm = None  # spec rows permuted (mode-sorted) when set
             rows_sorted = False  # residue rows known mode-ascending
+            resid_bufs = None  # tight per-bucket buffers when set
+            bucket_lo_of = None
             if cursor is not None:
                 size_counts = {}
                 with span("host.pull"):
@@ -372,24 +379,62 @@ class HostBulkDecoder:
                         first = data_v[off_v[:-1]]
                         mkey = ((first.astype(np.int64) >> 1)
                                 & ((1 << mfb) - 1))
-                        if np.any(mkey[1:] < mkey[:-1]):
+                        need_perm = bool(np.any(mkey[1:] < mkey[:-1]))
+                        if need_perm:
                             perm = np.argsort(
                                 mkey, kind="stable").astype(np.int64)
                             starts = np.ascontiguousarray(off_v[:-1][perm])
                             ends = np.ascontiguousarray(off_v[1:][perm])
+                            sk = mkey[perm]
+                        else:
+                            starts, ends = off_v[:-1], off_v[1:]
+                            sk = mkey
+                        if tight_unpack:
+                            # per-bucket TIGHT buffers (stride = the
+                            # mode's own n2): the short-block bucket
+                            # feeds the DCT with no reshape copy
+                            counts = np.bincount(sk, minlength=n_modes)
+                            n2_modes = blk_tab >> 1
+                            resid_bufs = {}
+                            base = np.zeros(n_modes, dtype=np.int64)
+                            for m in np.flatnonzero(counts):
+                                bb = np.empty(
+                                    (int(counts[m]), C, int(n2_modes[m])),
+                                    dtype=np.float32)
+                                resid_bufs[int(m)] = bb
+                                base[m] = bb.ctypes.data
+                            lo_of = np.zeros(n_modes, dtype=np.int64)
+                            np.cumsum(counts[:-1], out=lo_of[1:])
+                            r_in = (np.arange(len(sk), dtype=np.int64)
+                                    - lo_of[sk])
+                            strides_pk = n2_modes[sk]
+                            meta_p = self._native.unpack_spec_ptr(
+                                data_v, np.ascontiguousarray(starts),
+                                np.ascontiguousarray(ends),
+                                base[sk] + r_in * (C * strides_pk * 4),
+                                strides_pk,
+                                n_threads=self.unpack_threads,
+                            )
+                            residue = None  # reconstructed only if the
+                            bucket_lo_of = lo_of  # fallback loop needs it
+                        elif need_perm:
                             residue, meta_p = self._native.unpack_spec_sv(
                                 data_v, starts, ends,
                                 n_threads=self.unpack_threads,
                             )
+                        else:
+                            residue, meta_p = (
+                                self._native.unpack_spec_view(
+                                    *job["view"],
+                                    n_threads=self.unpack_threads,
+                                ))
+                        if need_perm:
                             inv_perm = np.empty_like(perm)
                             inv_perm[perm] = np.arange(
                                 len(perm), dtype=np.int64)
                             meta = meta_p[inv_perm]  # original frame order
                         else:
-                            residue, meta = self._native.unpack_spec_view(
-                                *job["view"],
-                                n_threads=self.unpack_threads,
-                            )
+                            meta = meta_p
                         rows_sorted = True  # permuted, or already ascending
                         ys = used = has_floor = None
                     elif self._spec:
@@ -509,6 +554,14 @@ class HostBulkDecoder:
                 with span("host.alloc"):
                     rows_all = np.empty((nF + 1, C, n_max),
                                         dtype=np.float32)
+            if residue is None and not (self._fused2 and nbuck >= 0):
+                # tight buckets but the fast lane bailed (bad frame /
+                # plan edge): reconstruct the wide row space the
+                # fallback loops expect (rare; correctness path)
+                residue = np.zeros((nF, C, n_max // 2), dtype=np.float32)
+                for m, bb in resid_bufs.items():
+                    lo = int(bucket_lo_of[m])
+                    residue[lo : lo + bb.shape[0], :, : bb.shape[2]] = bb
             with span("host.synth"):
                 if self._fused2 and nbuck >= 0:
                     # bucket-table lane: each bucket is a contiguous row
@@ -519,9 +572,14 @@ class HostBulkDecoder:
                         lo = int(bucket_t[1, b])
                         cntb = int(bucket_t[2, b])
                         n = int(blk_tab[m])
-                        sel = residue[lo : lo + cntb]
                         with span("host.dct"):
-                            x = sel[:, :, : n // 2].reshape(-1, n // 2)
+                            if resid_bufs is not None:
+                                # tight bucket buffer: already [cnt, C,
+                                # n/2] contiguous — reshape is free
+                                x = resid_bufs[m].reshape(-1, n // 2)
+                            else:
+                                sel = residue[lo : lo + cntb]
+                                x = sel[:, :, : n // 2].reshape(-1, n // 2)
                             g = _dct4(
                                 x, type=4, axis=-1,
                                 overwrite_x=x.flags.c_contiguous,

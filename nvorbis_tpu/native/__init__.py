@@ -137,6 +137,17 @@ def load():
                 ctypes.c_void_p,  # meta
                 ctypes.c_int32,   # n_threads
             ]
+            lib.nvt_unpack_window_spec_ptr.argtypes = [
+                ctypes.c_void_p,  # setup
+                ctypes.c_void_p,  # bytes
+                ctypes.c_void_p,  # starts
+                ctypes.c_void_p,  # ends
+                ctypes.c_int32,   # n_packets
+                ctypes.c_void_p,  # out_ptrs [n] i64 (float* each)
+                ctypes.c_void_p,  # strides [n] i64
+                ctypes.c_void_p,  # meta
+                ctypes.c_int32,   # n_threads
+            ]
             lib.nvt_has_spec.restype = ctypes.c_int32
             lib.nvt_has_spec.argtypes = [ctypes.c_void_p]
             lib.nvt_cycles_read.argtypes = [ctypes.c_void_p]
@@ -599,6 +610,33 @@ class NativeUnpacker:
             n_threads,
         )
         return spec, meta
+
+    def unpack_spec_ptr(self, buf, starts, ends, out_ptrs, strides,
+                        n_threads=0):
+        """Spectrum unpack into PER-PACKET buffers with tight row strides.
+
+        ``out_ptrs[k]`` (int64) is the float* of packet k's ``[C,
+        strides[k]]`` block — the host engine points each mode-sorted
+        packet into its bucket's tight buffer, so the short-block bucket
+        feeds the DCT with no reshape copy.  The caller owns keeping the
+        target buffers alive and correctly sized (stride must be >= the
+        packet's n2; the mode is implied by the first-byte peek that
+        built the buckets, and a packet that decodes to a different/bad
+        mode writes nothing and returns ok=0 in its meta row)."""
+        B = len(starts)
+        meta = np.empty((B, 8), dtype=np.int32)
+        self._lib.nvt_unpack_window_spec_ptr(
+            self._handle,
+            buf.ctypes.data,
+            starts.ctypes.data,
+            ends.ctypes.data,
+            B,
+            out_ptrs.ctypes.data,
+            strides.ctypes.data,
+            meta.ctypes.data,
+            n_threads,
+        )
+        return meta
 
     def unpack_sym(self, packets, n_threads=0):
         """Symbol-mode unpack: residues as classes + canonical entry ids.
