@@ -389,7 +389,10 @@ class HostBulkDecoder:
                         else:
                             starts, ends = off_v[:-1], off_v[1:]
                             sk = mkey
-                        if tight_unpack:
+                        if tight_unpack and len(sk) >= 256:
+                            # (below ~256 frames the bucket bookkeeping
+                            # outweighs the reshape copy it avoids —
+                            # small files keep the wide lane)
                             # per-bucket TIGHT buffers (stride = the
                             # mode's own n2): the short-block bucket
                             # feeds the DCT with no reshape copy
@@ -742,7 +745,10 @@ class HostBulkDecoder:
                 chunk_base = planner.emitted
 
             good = np.flatnonzero(ok)
-            if len(good):
+            if len(good) and not provider_done:
+                # (a final chunk's carry feeds no next window — the EOS
+                # trim already owns the tail; skipping the 1-frame finish
+                # was a measurable fixed cost on 1-chunk files)
                 lg = int(good[-1])
                 if self._fused2:
                     # materialize the carry row with a 1-frame finish —
