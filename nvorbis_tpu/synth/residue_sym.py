@@ -38,7 +38,7 @@ class ResiduePlan:
 
     __slots__ = (
         "residue_type", "begin", "end", "psize", "S", "n_cls", "channels",
-        "groups_np", "pair_np", "vq_mega_np", "_tabs_dev",
+        "groups_np", "pair_np", "vq_mega_np", "stage_widths", "_tabs_dev",
     )
 
     def __init__(self, residue, channels):
@@ -63,6 +63,8 @@ class ResiduePlan:
         base_t = np.zeros((n_cls, S, psize), dtype=np.int32)
         mega = []
         mega_off = {}
+        mega_len = 0
+        live_dims = [[] for _ in range(S)]
 
         for cls in range(n_cls):
             row = residue.books[cls]
@@ -71,11 +73,22 @@ class ResiduePlan:
                 if book is None or not (residue.cascade[cls] & (1 << s)):
                     continue
                 d = book.dimensions
+                live_dims[s].append(d)
                 if id(book) not in mega_off:
-                    mega_off[id(book)] = sum(m.size for m in mega)
-                    mega.append(
-                        np.asarray(book.lookup, dtype=np.float32).ravel()
-                    )
+                    # 4-float book alignment: keeps every element address
+                    # ``vb + (w % d) + id*d`` a multiple of the stage's
+                    # group width W (W | d, W | w), so the device can fetch
+                    # W consecutive values as ONE row gather of a
+                    # [N/W, W]-reshaped table (the two element gathers are
+                    # ~100% of the on-chip reconstruction — see NOTES r5)
+                    pad = (-mega_len) % 4
+                    if pad:
+                        mega.append(np.zeros(pad, dtype=np.float32))
+                        mega_len += pad
+                    mega_off[id(book)] = mega_len
+                    arr = np.asarray(book.lookup, dtype=np.float32).ravel()
+                    mega.append(arr)
+                    mega_len += arr.size
                 vb = mega_off[id(book)]
                 w = np.arange(psize)
                 if self.residue_type == 0:
@@ -95,9 +108,31 @@ class ResiduePlan:
         self.pair_np = np.stack([div, base_t], axis=-1).reshape(
             n_cls * S, psize, 2
         )
-        self.vq_mega_np = (
-            np.concatenate(mega) if mega else np.zeros(1, dtype=np.float32)
-        )
+        if mega:
+            tail = (-mega_len) % 4
+            if tail:
+                mega.append(np.zeros(tail, dtype=np.float32))
+            self.vq_mega_np = np.concatenate(mega)
+        else:
+            self.vq_mega_np = np.zeros(4, dtype=np.float32)
+        # per-stage element-group width: the largest power of two (<= 4)
+        # dividing every live book's dims in that stage.  Within a group of
+        # W elements the slot index is constant (g = w // d, W | d) and the
+        # VQ addresses are consecutive, so the device gathers ids once per
+        # group and mega values W at a time.  Residue type 0 interleaves
+        # groups element-wise (g = w % steps) — no grouping there.
+        widths = []
+        from math import gcd
+
+        for s in range(S):
+            if self.residue_type == 0 or not live_dims[s]:
+                widths.append(1)
+                continue
+            g = 0
+            for d in live_dims[s]:
+                g = gcd(g, d)
+            widths.append(4 if g % 4 == 0 else (2 if g % 2 == 0 else 1))
+        self.stage_widths = tuple(widths)
 
     # -- per-block-size geometry ------------------------------------------------
 
@@ -199,12 +234,21 @@ class SymStatic(NamedTuple):
     n_cls: int
     half: int
     residue_type: int
+    # per-stage gather-group widths (see ResiduePlan.stage_widths);
+    # NVT_SYM_WIDE=0 pins them to 1 (the per-element twin lane)
+    widths: tuple = ()
 
 
 def plan_static(plan, block_size):
+    import os
+
+    widths = plan.stage_widths
+    if os.environ.get("NVT_SYM_WIDE", "1") == "0":
+        widths = (1,) * plan.S
     return SymStatic(
         plan.begin, plan.psize, plan.n_part(block_size), plan.chr_count(),
         plan.S, plan.n_cls, plan.half(block_size), plan.residue_type,
+        widths,
     )
 
 
@@ -218,7 +262,8 @@ def reconstruct_spectrum(classes, ids_flat, frame_base, tabs, st, channels):
     """
     import jax.numpy as jnp
 
-    begin, psize, n_part, CHR, S, n_cls, half, rtype = st  # SymStatic
+    begin, psize, n_part, CHR, S, n_cls, half, rtype = st[:8]  # SymStatic
+    widths = st.widths or (1,) * S
     groups_t, pair_t, mega_t = tabs
     B = classes.shape[0]
     n_ids = ids_flat.shape[0]
@@ -234,36 +279,61 @@ def reconstruct_spectrum(classes, ids_flat, frame_base, tabs, st, channels):
         prefix = jnp.cumsum(counts_c, axis=1) - counts_c  # exclusive
         prefix = prefix.reshape(B, S, CHR, n_part)
 
-        # gather count is THE cost on chip (each element-wise gather over
-        # [B, CHR, coded] indices measured 35-45 ms; NOTES round 5): the
-        # static per-(cls, stage) words ride ONE row gather indexed per
-        # PARTITION (psize x fewer indices), leaving only the two
-        # data-dependent element gathers (ids, mega) per stage
+        # gather count is THE cost on chip — the on-chip dissection
+        # (tools/ab_recon_gathers.py) measured the two data-dependent
+        # element gathers at 97 + 88 ms/iter and EVERYTHING else in the
+        # reconstruction at ~0.07 ms.  Three reductions ride below:
+        #   1. static per-(cls, stage) words: ONE row gather indexed per
+        #      partition (psize x fewer indices);
+        #   2. ids: one gather per W-element group (slot is constant
+        #      within a group; W = st.widths[s]);
+        #   3. mega: one [N/W, W] row gather per group (addresses are
+        #      consecutive and W-aligned by the plan's book padding).
         is_cls_p = classes < n_cls  # [B, CHR, n_part]
         cls_safe_p = jnp.where(is_cls_p, classes, 0)
-        live_p = jnp.broadcast_to(
-            is_cls_p[:, :, :, None], (B, CHR, n_part, psize)
-        ).reshape(B, CHR, coded)
+        live_w = {}
+
+        def live_for(w):
+            if w not in live_w:
+                live_w[w] = jnp.broadcast_to(
+                    is_cls_p[:, :, :, None], (B, CHR, n_part, psize // w)
+                ).reshape(B, CHR, coded // w)
+            return live_w[w]
 
         acc = jnp.zeros((B, CHR, coded), dtype=jnp.float32)
         for s in range(S):
+            W = widths[s] if s < len(widths) else 1
             rows = jnp.take(pair_t, cls_safe_p * S + s, axis=0)
-            pe = rows[..., 0].reshape(B, CHR, coded)  # (group<<16)|dims
-            base = rows[..., 1].reshape(B, CHR, coded)  # vq_base + elem_off
-            live = live_p & (pe >= 0)
+            if W > 1:
+                rows = rows[:, :, :, ::W]  # group-leader element per group
+            pe = rows[..., 0].reshape(B, CHR, coded // W)  # (group<<16)|dims
+            base = rows[..., 1].reshape(B, CHR, coded // W)  # vq_base + off
+            live = live_for(W) & (pe >= 0)
             g = pe >> 16
             dm = pe & 0xFFFF
             sb = jnp.broadcast_to(
-                prefix[:, s][:, :, :, None], (B, CHR, n_part, psize)
-            ).reshape(B, CHR, coded)
+                prefix[:, s][:, :, :, None], (B, CHR, n_part, psize // W)
+            ).reshape(B, CHR, coded // W)
             slot = frame_base[:, None, None] + sb + g
             idv = jnp.take(ids_flat, jnp.clip(slot, 0, n_ids - 1)).astype(
                 jnp.int32
             )
             live = live & (idv >= 0)
             addr = base + idv * dm
-            val = jnp.take(mega_t, jnp.clip(addr, 0, mega_n - 1))
-            acc = acc + jnp.where(live, val, jnp.float32(0.0))
+            if W > 1:
+                mega_w = mega_t.reshape(-1, W)
+                val = jnp.take(
+                    mega_w,
+                    jnp.clip(addr >> (W.bit_length() - 1), 0,
+                             mega_w.shape[0] - 1),
+                    axis=0,
+                )  # [B, CHR, coded//W, W]
+                acc = acc + jnp.where(
+                    live[..., None], val, jnp.float32(0.0)
+                ).reshape(B, CHR, coded)
+            else:
+                val = jnp.take(mega_t, jnp.clip(addr, 0, mega_n - 1))
+                acc = acc + jnp.where(live, val, jnp.float32(0.0))
 
     if rtype == 2:
         full = jnp.zeros((B, half), dtype=jnp.float32)

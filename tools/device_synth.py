@@ -140,65 +140,23 @@ def main():
     #   olaidx — synth + the OLA's index computation (searchsorted +
     #            segment-table takes), WITHOUT the two row gathers
     #   full   — the production program (default)
-    STAGE = os.environ.get("NVT_SYNTH_STAGE", "full")
-    if STAGE == "olaidx":
-        import jax as _jax
-        import jax.numpy as _jnp
+    # A comma-separated list measures every named stage in ONE process —
+    # the capture decode and the first-fetch settle are shared, which is
+    # what makes a 4-way dissection affordable through the relay.
+    STAGES = os.environ.get("NVT_SYNTH_STAGE", "full").split(",")
+    full_fn = fn
+    import jax.numpy as _jnp
 
-        base_fn = fn
-        C = cfg[0]
-        L_pad, S_pad = cfg[1], cfg[2]
-
-        def fn(*flat):  # noqa: F811
-            # recompute the synthesis rows exactly as the program does,
-            # then the OLA index chain only (the takes of rows are what
-            # this stage omits)
-            segE, prim, sec, sec_len = flat[-4:]
-            p = _jax.lax.broadcasted_iota(_jnp.int32, (L_pad,), 0)
-            f = _jnp.clip(
-                _jnp.searchsorted(segE, p, side="right") - 1, 0, S_pad - 1)
-            t = p - _jnp.take(segE, f)
-            i1 = _jnp.take(prim, f) + t
-            live2 = t < _jnp.take(sec_len, f)
-            i2 = _jnp.take(sec, f) + t
-            idx_sum = (_jnp.sum(i1) + _jnp.sum(i2)
-                       + _jnp.sum(live2.astype(_jnp.int32)))
-            # keep the synthesis live too (sum of the pre-OLA rows): the
-            # delta vs the synth stage isolates the index chain alone
-            acc2 = _jnp.float32(0.0)
-            i2p = 0
-            from nvorbis_tpu.synth.device import synth_spectra
-            from nvorbis_tpu.synth.residue_sym import reconstruct_spectrum
-
-            for b in cfg[3]:
-                if b[0] == "s":
-                    (classes, ids_flat, frame_base, ys2, used2, hf2, widx2,
-                     tid2, xs_t, win_t, basis, sl_t,
-                     g_t, pr_t, mg_t) = flat[i2p:i2p + 15]
-                    i2p += 15
-                    residue = reconstruct_spectrum(
-                        classes.astype(_jnp.int32), ids_flat, frame_base,
-                        (g_t, pr_t, mg_t), b[7], C)
-                else:
-                    (residue, ys2, used2, hf2, widx2, tid2, xs_t, win_t,
-                     basis, sl_t) = flat[i2p:i2p + 10]
-                    i2p += 10
-                xs2 = _jnp.take(xs_t, tid2, axis=0)
-                sl2 = _jnp.take(sl_t, tid2, axis=0)
-                pcm = synth_spectra(residue, ys2, used2, hf2, xs2, basis,
-                                    b[6], sl=sl2)
-                win = win_t[tid2, widx2]
-                acc2 = acc2 + _jnp.sum(pcm * win[:, None, :])
-            return (acc2 + idx_sum.astype(_jnp.float32)).reshape(1, 1)
-    elif STAGE != "full":
-        import jax.numpy as _jnp
-
+    def build_stage_fn(STAGE):
+        if STAGE == "full":
+            return full_fn
         from nvorbis_tpu.synth.device import synth_spectra
         from nvorbis_tpu.synth.residue_sym import reconstruct_spectrum
 
         C = cfg[0]
+        L_pad, S_pad = cfg[1], cfg[2]
 
-        def fn(*flat):  # noqa: F811 — diagnostic stand-in for the program
+        def sfn(*flat):  # diagnostic stand-in for the program
             i2 = 0
             acc2 = _jnp.float32(0.0)
             for b in cfg[3]:
@@ -223,32 +181,50 @@ def main():
                                     b[6], sl=sl2)
                 win = win_t[tid2, widx2]
                 acc2 = acc2 + _jnp.sum(pcm * win[:, None, :])
-            return acc2.reshape(1, 1)  # fn's consumers index [0, 0]
+            if STAGE == "olaidx":
+                # the OLA index chain only (the two row takes are what
+                # this stage omits); delta vs synth isolates the chain
+                segE, prim, sec, sec_len = flat[-4:]
+                p = jax.lax.broadcasted_iota(_jnp.int32, (L_pad,), 0)
+                f = _jnp.clip(
+                    _jnp.searchsorted(segE, p, side="right") - 1,
+                    0, S_pad - 1)
+                t = p - _jnp.take(segE, f)
+                i1 = _jnp.take(prim, f) + t
+                live2 = t < _jnp.take(sec_len, f)
+                i2x = _jnp.take(sec, f) + t
+                acc2 = acc2 + (_jnp.sum(i1) + _jnp.sum(i2x) + _jnp.sum(
+                    live2.astype(_jnp.int32))).astype(_jnp.float32)
+            return acc2.reshape(1, 1)  # consumers index [0, 0]
 
-    def looped(k, *a):
-        def body(i, acc):
-            # chain through acc: value == i%2 (acc is never NaN) but the
-            # dependency forces strict sequencing across iterations
-            bump = jnp.where(jnp.isnan(acc), jnp.int32(0), i % 2)
-            aa = list(a)
-            for j in perturb_f32:
-                aa[j] = aa[j] + (acc * 1e-30 + i * 1e-7).astype(aa[j].dtype)
-            for j in perturb_int:
-                aa[j] = aa[j] + bump.astype(aa[j].dtype)
-            out = fn(*aa)
-            # reduce over the WHOLE output: returning one element lets XLA
-            # dead-code-eliminate the rest of the synthesis (measured:
-            # call times flat in K with out[0,0])
-            return acc + jnp.sum(out.astype(jnp.float32)) * jnp.float32(1e-6)
-
-        # dynamic trip count (k is a traced arg): ONE executable serves
-        # every K — no per-K recompiles, and calls are never identical so
-        # the relay's execution memoization cannot fire
-        return lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return sfn
 
     import jax
 
-    looped_j = jax.jit(looped)
+    def build_looped(sfn):
+        def looped(k, *a):
+            def body(i, acc):
+                # chain through acc: value == i%2 (acc is never NaN) but
+                # the dependency forces strict sequencing across iters
+                bump = jnp.where(jnp.isnan(acc), jnp.int32(0), i % 2)
+                aa = list(a)
+                for j in perturb_f32:
+                    aa[j] = aa[j] + (acc * 1e-30 + i * 1e-7).astype(
+                        aa[j].dtype)
+                for j in perturb_int:
+                    aa[j] = aa[j] + bump.astype(aa[j].dtype)
+                out = sfn(*aa)
+                # reduce over the WHOLE output: returning one element lets
+                # XLA dead-code-eliminate the rest of the synthesis
+                return acc + jnp.sum(out.astype(jnp.float32)) * jnp.float32(
+                    1e-6)
+
+            # dynamic trip count (k is a traced arg): ONE executable
+            # serves every K — no per-K recompiles, and calls are never
+            # identical so the relay's execution memoization cannot fire
+            return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        return jax.jit(looped)
 
     # Two more relay traps (both measured on-chip):
     #   - repeat calls with IDENTICAL (executable, args) are memoized
@@ -286,7 +262,7 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    def timed_call(k):
+    def timed_call(looped_j, k):
         t1 = time.perf_counter()
         v = float(looped_j(jnp.int32(k), *args))  # completion barrier
         dt = time.perf_counter() - t1
@@ -295,39 +271,56 @@ def main():
         last_progress[0] = time.time()
         return dt
 
-    # settle: the first fetch also drains every capture-decode execution
-    # still in flight (block_until_ready does not await through the relay)
-    t_settle = timed_call(1)
-    print(f"settle_s: {t_settle:.1f}", flush=True)
-    patience[0] = 300.0
-    t_a = timed_call(2)  # fixed-cost anchor
-    t_b = timed_call(10)
-    per_iter = max(1e-4, (t_b - t_a) / 8)
-    print(f"per_iter_marginal_ms: {per_iter*1e3:.1f}", flush=True)
-    # ladder: rungs grow the TOTAL trip count toward k_max.  Hard cap: a
-    # single execution >60 s has crashed the TPU worker process ("kernel
-    # fault", observed at K=91 x 0.73 s/iter), so every call's predicted
-    # time stays under ~40 s
-    n_rungs = max(1, REPS - 1)
-    k_max = max(14, min(4096, int(40.0 / per_iter)))
-    step = max(4, (k_max - 10) // n_rungs)
-    prev_k, prev_t = 10, t_b
-    for r in range(n_rungs):
-        k = prev_k + step
-        dt = timed_call(k)
-        if dt > prev_t:
-            rates.append((k - prev_k) * chunk_audio / (dt - prev_t))
-            print(f"rep: {rates[-1]:.1f}", flush=True)
-        prev_k, prev_t = k, dt
-    if not rates:  # degenerate timing: fall back to the coarse estimate
-        rates = [chunk_audio / per_iter]
-    rates.sort()
-    med = rates[len(rates) // 2] if len(rates) % 2 else (
-        rates[len(rates) // 2 - 1] + rates[len(rates) // 2]) / 2
-    fixed_s = max(0.0, t_a - 2 * per_iter)
-    print(f"dispatch_fixed_s: {fixed_s:.1f}", flush=True)
-    print(f"device_synth_spread: {rates[0]:.1f} {rates[-1]:.1f}", flush=True)
-    print(f"device_synth_x: {med:.1f}", flush=True)
+    first_stage = True
+    for STAGE in STAGES:
+        stage_rates = []
+        looped_j = build_looped(build_stage_fn(STAGE))
+        if len(STAGES) > 1:
+            print(f"stage: {STAGE}", flush=True)
+        # settle: the first fetch also drains every capture-decode
+        # execution still in flight (block_until_ready does not await
+        # through the relay); later stages pay only their own compile
+        t_settle = timed_call(looped_j, 1)
+        if first_stage:
+            print(f"settle_s: {t_settle:.1f}", flush=True)
+            patience[0] = 300.0
+            first_stage = False
+        t_a = timed_call(looped_j, 2)  # fixed-cost anchor
+        t_b = timed_call(looped_j, 10)
+        per_iter = max(1e-4, (t_b - t_a) / 8)
+        print(f"{'per_iter_marginal_ms' if STAGE == 'full' else 'stage_' + STAGE + '_per_iter_ms'}: "
+              f"{per_iter*1e3:.1f}", flush=True)
+        # ladder: rungs grow the TOTAL trip count toward k_max.  Hard cap:
+        # a single execution >60 s has crashed the TPU worker process
+        # ("kernel fault", observed at K=91 x 0.73 s/iter), so every
+        # call's predicted time stays under ~40 s
+        n_rungs = max(1, REPS - 1)
+        k_max = max(14, min(4096, int(40.0 / per_iter)))
+        step = max(4, (k_max - 10) // n_rungs)
+        prev_k, prev_t = 10, t_b
+        for r in range(n_rungs):
+            k = prev_k + step
+            dt = timed_call(looped_j, k)
+            if dt > prev_t:
+                stage_rates.append((k - prev_k) * chunk_audio /
+                                   (dt - prev_t))
+                print(f"rep: {stage_rates[-1]:.1f}", flush=True)
+            prev_k, prev_t = k, dt
+        if not stage_rates:  # degenerate timing: coarse estimate
+            stage_rates = [chunk_audio / per_iter]
+        stage_rates.sort()
+        if STAGE == "full":
+            rates = stage_rates
+            med = rates[len(rates) // 2] if len(rates) % 2 else (
+                rates[len(rates) // 2 - 1] + rates[len(rates) // 2]) / 2
+            fixed_s = max(0.0, t_a - 2 * per_iter)
+            print(f"dispatch_fixed_s: {fixed_s:.1f}", flush=True)
+            print(f"device_synth_spread: {rates[0]:.1f} {rates[-1]:.1f}",
+                  flush=True)
+            print(f"device_synth_x: {med:.1f}", flush=True)
+        else:
+            print(f"stage_{STAGE}_x: {stage_rates[len(stage_rates)//2]:.1f}",
+                  flush=True)
 
     # parity is inherent: every timed call fetched the accumulated PCM
     # scalar and asserted finiteness
